@@ -1,0 +1,26 @@
+import os
+import sys
+
+# Virtual 8-device CPU platform for multi-chip tests; must be set before jax
+# import. Note: the environment may force-register a TPU backend (JAX_PLATFORMS
+# is not honored), so tests pin computation to CPU via jax_default_device.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import jax  # noqa: E402
+
+_CPU = jax.local_devices(backend="cpu")[0]
+jax.config.update("jax_default_device", _CPU)
+# Parity tests compare against fp64-accumulated torch CPU math.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def cpu_devices():
+    return jax.local_devices(backend="cpu")

@@ -1,0 +1,110 @@
+"""Test oracle: import the reference PyTorch implementation (read-only at
+/root/reference) with lightweight stubs for its missing heavy dependencies,
+so tests can compare our JAX forward passes against reference activations
+computed from the SAME randomly-initialised weights.
+
+This package only feeds tests; the framework itself never imports it.
+"""
+
+import importlib
+import sys
+import types
+
+REF_SRC = "/root/reference/vitlens/src"
+
+_INSTALLED = False
+
+
+class _EasyDict(dict):
+    """Minimal easydict.EasyDict stand-in (attr <-> item access)."""
+
+    def __init__(self, d=None, **kwargs):
+        super().__init__()
+        d = dict(d or {})
+        d.update(kwargs)
+        for k, v in d.items():
+            self[k] = v
+
+    def __setitem__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, _EasyDict):
+            v = _EasyDict(v)
+        super().__setitem__(k, v)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install():
+    """Install stubs + a namespace 'open_clip' package whose submodules load
+    from the reference tree WITHOUT executing open_clip/__init__.py (which
+    pulls torchvision/timm/ftfy)."""
+    global _INSTALLED
+    if _INSTALLED:
+        return
+    import torch
+    import torch.nn as nn
+
+    # easydict
+    _stub_module("easydict", EasyDict=_EasyDict)
+
+    # torchvision bits referenced by open_clip.utils / transform
+    tv = _stub_module("torchvision")
+    tv_transforms = _stub_module("torchvision.transforms")
+    tv.transforms = tv_transforms
+    for cls in ["Normalize", "Compose", "RandomResizedCrop", "InterpolationMode",
+                "ToTensor", "Resize", "CenterCrop", "ColorJitter", "Grayscale"]:
+        setattr(tv_transforms, cls, type(cls, (), {}))
+    tv_transforms.functional = _stub_module("torchvision.transforms.functional")
+    tv_ops = _stub_module("torchvision.ops")
+    tv.ops = tv_ops
+    tv_ops_misc = _stub_module("torchvision.ops.misc",
+                               FrozenBatchNorm2d=nn.BatchNorm2d)
+    tv_ops.misc = tv_ops_misc
+
+    # timm bits (DropPath used with drop_prob=0 in eval paths)
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    timm = _stub_module("timm")
+    timm_models = _stub_module("timm.models")
+    timm.models = timm_models
+    timm_models.hub = _stub_module("timm.models.hub")
+    timm_models.layers = _stub_module("timm.models.layers", DropPath=DropPath,
+                                      trunc_normal_=lambda *a, **k: None)
+
+    # namespace package pointing at the reference tree
+    pkg = types.ModuleType("open_clip")
+    pkg.__path__ = [f"{REF_SRC}/open_clip"]
+    sys.modules["open_clip"] = pkg
+
+    _INSTALLED = True
+
+
+def load(modname: str):
+    """Import e.g. 'open_clip.transformer' from the reference tree."""
+    install()
+    return importlib.import_module(modname)
+
+
+def easydict(**kwargs):
+    install()
+    return _EasyDict(kwargs)

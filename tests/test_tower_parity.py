@@ -1,0 +1,146 @@
+"""Numerical parity of vitlens-tpu towers vs the reference PyTorch code,
+with identical (randomly initialised, converted) weights.
+
+Runs at reduced scale (small width/layers) — the math is scale-independent;
+full ViT-L goldens are exercised separately in test_vitl_golden.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitlens_tpu.config import (
+    AudioAdapterConfig,
+    EEGAdapterConfig,
+    PerceiverConfig,
+    PointAdapterConfig,
+    TowerConfig,
+)
+from vitlens_tpu.models.vit import vision_tower_apply
+from tests.helpers import (
+    build_ref_vision_tower,
+    convert_ref_vision_tower,
+    rel_err,
+    small_arch,
+)
+
+TOL = 2e-5
+
+
+def _run_both(tower: TowerConfig, x_np: np.ndarray, **apply_kw):
+    import torch
+
+    vt = build_ref_vision_tower(tower)
+    with torch.no_grad():
+        ref = vt(torch.from_numpy(x_np).float()).numpy()
+    params, state = convert_ref_vision_tower(vt, tower)
+    ours, _ = vision_tower_apply(params, state, jnp.asarray(x_np), tower, **apply_kw)
+    return ref, np.asarray(ours)
+
+
+def test_image_tower_parity():
+    tower = TowerConfig(arch=small_arch(), embed_dim=48, modality="image")
+    x = np.random.RandomState(0).randn(2, 3, 56, 56).astype(np.float32)
+    ref, ours = _run_both(tower, x)
+    assert rel_err(ours, ref) < TOL
+
+
+def test_image_tower_quickgelu_parity():
+    tower = TowerConfig(arch=small_arch(), embed_dim=48, modality="image",
+                        quick_gelu=True)
+    x = np.random.RandomState(1).randn(2, 3, 56, 56).astype(np.float32)
+    ref, ours = _run_both(tower, x)
+    assert rel_err(ours, ref) < TOL
+
+
+def test_depth_tower_identity_perceiver_parity():
+    # depth: adapter + identity perceiver (reference model_cfg.py:138-143)
+    tower = TowerConfig(
+        arch=small_arch(), embed_dim=48, modality="depth",
+        perceiver=PerceiverConfig(as_identity=True, num_latents=16, latent_dim=64),
+    )
+    x = np.random.RandomState(2).randn(2, 1, 56, 56).astype(np.float32)
+    ref, ours = _run_both(tower, x)
+    assert rel_err(ours, ref) < TOL
+
+
+def test_audio_tower_perceiver_parity():
+    aud = AudioAdapterConfig(mel_bins=32, target_length=64, fstride=10,
+                             tstride=10, patch_size=16)
+    tower = TowerConfig(
+        arch=small_arch(), embed_dim=48, modality="audio", audio=aud,
+        perceiver=PerceiverConfig(
+            depth=2, num_latents=16, latent_dim=64, input_dim=64,
+            cross_heads=1, cross_dim_head=16, latent_heads=2,
+            latent_dim_head=32, self_per_cross_attn=3,
+        ),
+    )
+    # [B, T, F] like the fbank output
+    x = np.random.RandomState(3).randn(2, 64, 32).astype(np.float32)
+    ref, ours = _run_both(tower, x)
+    assert rel_err(ours, ref) < TOL
+
+
+def test_eeg_tower_parity():
+    eeg = EEGAdapterConfig(chans=16, time_len=32, window_size=1, stride=1)
+    tower = TowerConfig(
+        arch=small_arch(), embed_dim=48, modality="eeg", eeg=eeg,
+        perceiver=PerceiverConfig(
+            depth=1, num_latents=16, latent_dim=64, input_dim=64,
+            cross_heads=1, cross_dim_head=16, latent_heads=2,
+            latent_dim_head=32, self_per_cross_attn=1,
+        ),
+    )
+    x = np.random.RandomState(4).randn(2, 16, 32).astype(np.float32)
+    ref, ours = _run_both(tower, x)
+    assert rel_err(ours, ref) < TOL
+
+
+def test_pc_tower_parity():
+    """PointBERT tokenizer + perceiver. FPS start is stochastic in the
+    reference (misc.py:60) — we monkeypatch it to start at 0 to compare."""
+    import torch
+
+    pc = PointAdapterConfig(num_group=16, group_size=8, encoder_dims=24,
+                            trans_dim=32, npoints=128)
+    tower = TowerConfig(
+        arch=small_arch(), embed_dim=48, modality="pc", point=pc,
+        perceiver=PerceiverConfig(
+            depth=2, num_latents=16, latent_dim=64, input_dim=32,
+            cross_heads=1, cross_dim_head=16, latent_heads=2,
+            latent_dim_head=32, self_per_cross_attn=1,
+        ),
+    )
+    from tests import ref_oracle
+
+    misc = ref_oracle.load("open_clip.modal_3d.models.pointbert.misc")
+    orig_randint = torch.randint
+    try:
+        # force deterministic FPS start = 0 on the reference side
+        torch.randint = lambda low, high, size, **kw: torch.zeros(
+            size, dtype=kw.get("dtype", torch.long)
+        )
+        x = np.random.RandomState(5).randn(2, 128, 3).astype(np.float32)
+        ref, ours = _run_both(tower, x)
+    finally:
+        torch.randint = orig_randint
+    assert rel_err(ours, ref) < 1e-4  # FPS ties can reorder groups slightly
+
+
+def test_bf16_image_tower_close():
+    """bf16 compute should stay within ~1e-2 of fp32 (policy sanity)."""
+    tower = TowerConfig(arch=small_arch(), embed_dim=48, modality="image")
+    x = np.random.RandomState(6).randn(2, 3, 56, 56).astype(np.float32)
+    vt = build_ref_vision_tower(tower)
+    params, state = convert_ref_vision_tower(vt, tower)
+    f32, _ = vision_tower_apply(params, state, jnp.asarray(x), tower)
+    bf16, _ = vision_tower_apply(
+        params, state, jnp.asarray(x), tower, compute_dtype=jnp.bfloat16
+    )
+    cos = np.sum(np.asarray(f32) * np.asarray(bf16, np.float32), -1) / (
+        np.linalg.norm(np.asarray(f32), axis=-1)
+        * np.linalg.norm(np.asarray(bf16, np.float32), axis=-1)
+    )
+    assert np.all(cos > 0.99)

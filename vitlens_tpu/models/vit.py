@@ -1,0 +1,158 @@
+"""Lens-aware Vision Transformer tower.
+
+Composition (mirrors reference VisionTransformer.forward, transformer.py:714-787):
+    modality adapter -> (+ adapter pos) -> Perceiver Lens -> prepend CLS
+    -> + learned positional embedding -> ln_pre -> trunk (N resblocks)
+    -> CLS pool -> ln_post -> @ proj
+
+TPU design notes:
+  * the trunk runs as a single lax.scan over stacked layer params;
+  * compute dtype is a call-site choice (bf16 on TPU) with fp32 LayerNorm;
+  * everything is a pure function of (params, state, inputs) — pjit-ready.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vitlens_tpu.config import TowerConfig
+from vitlens_tpu.adapters import tokenizers as tok
+from vitlens_tpu.models import layers as L
+from vitlens_tpu.models.perceiver import perceiver_apply, perceiver_init
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+def _adapter_init(key, cfg: TowerConfig) -> Tuple[Params, State]:
+    m = cfg.modality
+    if m in ("image", "tactile"):
+        return tok.image_adapter_init(key, cfg)
+    if m == "depth":
+        return tok.depth_adapter_init(key, cfg)
+    if m == "audio":
+        return tok.audio_adapter_init(key, cfg)
+    if m == "eeg":
+        return tok.eeg_adapter_init(key, cfg)
+    if m == "pc":
+        if cfg.point.tokenizer == "pointbert":
+            return tok.point_tokenizer_init(key, cfg.point)
+        if cfg.point.tokenizer == "pnsa":
+            return tok.pnsa_tokenizer_init(key, cfg.point)
+        raise ValueError(cfg.point.tokenizer)
+    raise NotImplementedError(f"modality {m!r}")
+
+
+def _adapter_apply(
+    p: Params, s: State, x: jnp.ndarray, cfg: TowerConfig,
+    train: bool, fps_key=None, bn_axis_name=None,
+):
+    m = cfg.modality
+    if m in ("image", "tactile"):
+        return tok.image_adapter_apply(p, s, x, train)
+    if m == "depth":
+        return tok.depth_adapter_apply(p, s, x, train)
+    if m == "audio":
+        return tok.audio_adapter_apply(p, s, x, cfg.audio, train)
+    if m == "eeg":
+        return tok.eeg_adapter_apply(p, s, x, cfg.eeg, train)
+    if m == "pc":
+        if cfg.point.tokenizer == "pointbert":
+            return tok.point_tokenizer_apply(
+                p, s, x, cfg.point, train, fps_key=fps_key, bn_axis_name=bn_axis_name
+            )
+        return tok.pnsa_tokenizer_apply(
+            p, s, x[..., 3:] if x.shape[-1] > 3 else x, x[..., :3], cfg.point,
+            train, fps_key=fps_key, bn_axis_name=bn_axis_name,
+        )
+    raise NotImplementedError(m)
+
+
+def vision_tower_init(key, cfg: TowerConfig) -> Tuple[Params, State]:
+    arch = cfg.arch
+    width = arch.width
+    scale = width ** -0.5
+    k_ad, k_perc, k_cls, k_pos, k_trunk, k_proj = jax.random.split(key, 6)
+
+    adapter_p, adapter_s = _adapter_init(k_ad, cfg)
+    p: Params = {"adapter": adapter_p}
+    s: State = {"adapter": adapter_s}
+
+    if cfg.perceiver is not None and not (
+        cfg.perceiver.as_identity or cfg.perceiver.as_transformer
+    ):
+        p["perceiver"] = perceiver_init(k_perc, cfg.perceiver)
+
+    p["class_embedding"] = scale * jax.random.normal(k_cls, (width,))
+    p["positional_embedding"] = scale * jax.random.normal(
+        k_pos, (cfg.num_tokens + 1, width)
+    )
+    p["ln_pre"] = L.layer_norm_init(width)
+    p["trunk"] = L.transformer_init(
+        k_trunk, width, arch.layers, arch.mlp_ratio, arch.ls_init_value
+    )
+    p["ln_post"] = L.layer_norm_init(width)
+    p["proj"] = scale * jax.random.normal(k_proj, (width, cfg.embed_dim))
+    return p, s
+
+
+def vision_tower_apply(
+    p: Params,
+    s: State,
+    x: jnp.ndarray,
+    cfg: TowerConfig,
+    *,
+    train: bool = False,
+    remat: bool = False,
+    fps_key: Optional[jax.Array] = None,
+    bn_axis_name: Optional[str] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    output_tokens: bool = False,
+):
+    """Encode one modality batch -> (features [B, embed_dim], new_state).
+
+    With output_tokens=True returns ((pooled, tokens), new_state) like the
+    reference output_tokens path (transformer.py:784-787)."""
+    x = x.astype(compute_dtype)
+    (tokens, pos), new_adapter_s = _adapter_apply(
+        p["adapter"], s["adapter"], x, cfg, train,
+        fps_key=fps_key, bn_axis_name=bn_axis_name,
+    )
+    if pos is not None and cfg.use_adapter_pos:
+        tokens = tokens + pos.astype(tokens.dtype)
+
+    if cfg.perceiver is not None and not (
+        cfg.perceiver.as_identity or cfg.perceiver.as_transformer
+    ):
+        tokens = perceiver_apply(p["perceiver"], tokens, cfg.perceiver)
+    # as_identity: tokens pass straight through (reference perceiver.py:369-371)
+
+    B = tokens.shape[0]
+    cls = jnp.broadcast_to(
+        p["class_embedding"].astype(tokens.dtype)[None, None, :],
+        (B, 1, tokens.shape[-1]),
+    )
+    h = jnp.concatenate([cls, tokens], axis=1)
+    if cfg.use_orig_pos:
+        h = h + p["positional_embedding"].astype(h.dtype)
+
+    h = L.layer_norm(h, p["ln_pre"])
+    h = L.transformer(
+        h, p["trunk"], cfg.arch.heads, L.get_act(cfg.quick_gelu),
+        remat=remat, skip_first_n=cfg.skip_first_n_layers,
+    )
+
+    if cfg.arch.global_average_pool:
+        pooled, toks = jnp.mean(h, axis=1), h
+    else:
+        pooled, toks = h[:, 0], h[:, 1:]
+    pooled = L.layer_norm(pooled, p["ln_post"])
+    pooled = pooled @ p["proj"].astype(pooled.dtype)
+
+    new_s = {**s, "adapter": new_adapter_s}
+    if output_tokens:
+        return (pooled, toks), new_s
+    return pooled, new_s

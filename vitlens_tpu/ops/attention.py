@@ -1,0 +1,94 @@
+"""Attention ops.
+
+Single entry point `dot_product_attention` used by every tower (ViT trunk,
+text tower, perceiver Lens). On TPU the hot path lowers to a fused Pallas
+flash-attention kernel; everywhere else (CPU tests, tiny shapes) it uses a
+plain XLA einsum path, which XLA fuses well for the short sequences this
+framework sees (77-600 tokens).
+
+Replaces the reference's torch.nn.MultiheadAttention / xformers
+memory_efficient_attention usage (reference: open_clip/transformer.py:214,
+perceiver.py:127-152).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    scale: float,
+) -> jnp.ndarray:
+    """Reference XLA path. q,k,v: [B, H, N, Dh]; mask additive [..., Nq, Nk]."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if mask is not None:
+        logits = logits + mask
+    # softmax in fp32 for stability regardless of compute dtype
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention core.
+
+    Args:
+      q: [B, H, Nq, Dh]
+      k, v: [B, H, Nk, Dh]
+      mask: optional additive mask broadcastable to [B, H, Nq, Nk]
+      scale: defaults to Dh ** -0.5
+      use_flash: force/disable the Pallas kernel; default = auto (TPU and
+        shapes large enough to benefit).
+    Returns [B, H, Nq, Dh].
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_flash is None:
+        use_flash = (
+            _flash_available()
+            and q.shape[-2] >= 128
+            and q.shape[-1] <= 128
+            and q.shape[-3] * q.shape[-4] >= 4  # enough grid cells to matter
+        )
+    if use_flash and mask is None:
+        from vitlens_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale)
+    return _xla_attention(q, k, v, mask, scale)
+
+
+def _flash_available() -> bool:
+    """Pallas path only when tracing for a TPU backend. jax_default_device
+    (used by CPU tests even when a TPU plugin is registered) is respected —
+    jax.default_backend() alone reports the highest-priority platform and
+    would wrongly enable the kernel for CPU-pinned computations."""
+    try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", None) == "tpu"
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def causal_mask(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive causal mask [n, n]: 0 on/below diagonal, -inf above.
+
+    Matches reference TextTransformer.build_attention_mask
+    (transformer.py:870-876)."""
+    return jnp.triu(jnp.full((n, n), -jnp.inf, dtype=dtype), k=1)

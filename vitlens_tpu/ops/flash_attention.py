@@ -1,0 +1,121 @@
+"""Fused attention Pallas kernel for TPU.
+
+ViT-Lens attention shapes are short-sequence (77 text, 257 ViT latents+CLS,
+512-600 adapter tokens) with head_dim 64-128. The whole K/V block for one
+(batch, head) fits comfortably in VMEM, so the kernel is a single-pass fused
+softmax-attention per (batch*head, q-tile) grid cell: scores never round-trip
+to HBM (the win over the XLA path, which materialises [N, N] logits), and no
+streaming-softmax machinery is needed.
+
+Backward runs the XLA einsum math via custom_vjp — attention backward is a
+small fraction of step time at these sizes and XLA fuses it well.
+
+Replaces xformers.memory_efficient_attention in the reference
+(perceiver.py:127-152) and torch nn.MultiheadAttention internals.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, nk_valid: int):
+    """One (batch*head, q-tile) cell. q_ref [TQ, D], k/v [NK, D], o [TQ, D]."""
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [TQ, NK]
+    nk = k.shape[0]
+    if nk_valid < nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < nk_valid, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _fused_attention_fwd_impl(q, k, v, scale: float) -> jnp.ndarray:
+    B, H, NQ, D = q.shape
+    NK = k.shape[2]
+    TQ = min(_round_up(NQ, 8), 512)
+    nq_pad = _round_up(NQ, TQ)
+    nk_pad = _round_up(NK, 128)
+    dp = _round_up(D, 128)
+
+    qf = jnp.pad(q.reshape(B * H, NQ, D), ((0, 0), (0, nq_pad - NQ), (0, dp - D)))
+    kf = jnp.pad(k.reshape(B * H, NK, D), ((0, 0), (0, nk_pad - NK), (0, dp - D)))
+    vf = jnp.pad(v.reshape(B * H, NK, D), ((0, 0), (0, nk_pad - NK), (0, dp - D)))
+
+    grid = (B * H, nq_pad // TQ)
+    out = pl.pallas_call(
+        functools.partial(_fused_attn_kernel, scale=scale, nk_valid=NK),
+        out_shape=jax.ShapeDtypeStruct((B * H, nq_pad, dp), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, TQ, dp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nk_pad, dp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nk_pad, dp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, TQ, dp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * nq_pad * nk_pad * dp,
+            bytes_accessed=(B * H) * (nq_pad * dp + 2 * nk_pad * dp + nq_pad * dp) * 2,
+            transcendentals=B * H * nq_pad * nk_pad,
+        ),
+    )(qf, kf, vf)
+    return out[:, :NQ, :D].reshape(B, H, NQ, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, scale: Optional[float] = None):
+    """Fused attention: q [B,H,NQ,D], k/v [B,H,NK,D] -> [B,H,NQ,D]."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _fused_attention_fwd_impl(q, k, v, scale)
+
+
+def _fwd(q, k, v, scale):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out = _fused_attention_fwd_impl(q, k, v, scale)
+    return out, (q, k, v)
+
+
+def _bwd(scale, res, g):
+    q, k, v = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    # Recompute probs (XLA); short sequences make this cheap.
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,188 @@
+"""CLIP byte-pair-encoding tokenizer (vocab 49408, context 77).
+
+From-scratch implementation of the OpenAI CLIP BPE scheme that the reference
+uses (/root/reference/vitlens/src/open_clip/tokenizer.py:79-208): byte-level
+pre-encoding, merge ranks from the public `bpe_simple_vocab_16e6.txt.gz`
+table, SOT/EOT wrapping, truncate-keep-EOT at 77 tokens.
+
+The merge table is loaded from (in order): $VITLENS_BPE_PATH, the package
+data dir, or the read-only reference checkout. It is pure data (the public
+OpenAI vocabulary), not code.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import os
+from typing import Dict, List, Sequence, Tuple, Union
+
+import numpy as np
+
+try:
+    import regex as re  # \p{L}/\p{N} classes
+except ImportError:  # pragma: no cover
+    import re  # type: ignore
+
+_DEFAULT_PATHS = [
+    os.path.join(os.path.dirname(__file__), "bpe_simple_vocab_16e6.txt.gz"),
+    "/root/reference/vitlens/src/open_clip/bpe_simple_vocab_16e6.txt.gz",
+]
+
+SOT_TEXT = "<|startoftext|>"
+EOT_TEXT = "<|endoftext|>"
+CONTEXT_LENGTH = 77
+
+
+def find_vocab_file() -> str:
+    cand = [os.environ.get("VITLENS_BPE_PATH", "")] + _DEFAULT_PATHS
+    for p in cand:
+        if p and os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        "CLIP BPE vocab not found; set VITLENS_BPE_PATH to "
+        "bpe_simple_vocab_16e6.txt.gz"
+    )
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """Reversible byte -> printable-unicode map (GPT-2 scheme)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word: Tuple[str, ...]):
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+def _whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _basic_clean(text: str) -> str:
+    # ftfy.fix_text in the reference; double html-unescape covers the common
+    # mojibake-free path (ftfy is not in this image).
+    return html.unescape(html.unescape(text)).strip()
+
+
+class SimpleTokenizer:
+    def __init__(self, vocab_path: str | None = None):
+        vocab_path = vocab_path or find_vocab_file()
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+
+        with gzip.open(vocab_path, "rt", encoding="utf-8") as f:
+            merge_lines = f.read().split("\n")
+        merge_lines = merge_lines[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merge_lines]
+
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for m in merges:
+            vocab.append("".join(m))
+        vocab.extend([SOT_TEXT, EOT_TEXT])
+
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.cache = {SOT_TEXT: SOT_TEXT, EOT_TEXT: EOT_TEXT}
+        self.pat = re.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+            r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+            re.IGNORECASE,
+        )
+        self.sot_token = self.encoder[SOT_TEXT]
+        self.eot_token = self.encoder[EOT_TEXT]
+        self.vocab_size = len(self.encoder)
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        bpe_tokens: List[int] = []
+        text = _whitespace_clean(_basic_clean(text)).lower()
+        for token in re.findall(self.pat, text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            bpe_tokens.extend(
+                self.encoder[t] for t in self.bpe(token).split(" ")
+            )
+        return bpe_tokens
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        text = "".join(self.decoder[int(t)] for t in tokens)
+        raw = bytearray(self.byte_decoder[c] for c in text)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ")
+
+    def __call__(
+        self,
+        texts: Union[str, Sequence[str]],
+        context_length: int = CONTEXT_LENGTH,
+    ) -> np.ndarray:
+        """Tokenize to [N, context_length] int32 with SOT/EOT; long inputs
+        are truncated keeping EOT as the final token (reference
+        tokenizer.py:177-208)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        result = np.zeros((len(texts), context_length), dtype=np.int32)
+        for i, text in enumerate(texts):
+            toks = [self.sot_token] + self.encode(text) + [self.eot_token]
+            if len(toks) > context_length:
+                toks = toks[:context_length]
+                toks[-1] = self.eot_token
+            result[i, : len(toks)] = toks
+        return result
+
+
+@functools.lru_cache()
+def get_tokenizer(vocab_path: str | None = None) -> SimpleTokenizer:
+    return SimpleTokenizer(vocab_path)
+
+
+def tokenize(texts, context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+    return get_tokenizer()(texts, context_length)
