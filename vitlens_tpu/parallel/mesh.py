@@ -1,0 +1,63 @@
+"""Device mesh + sharding helpers.
+
+The TPU-native replacement for the reference's torch.distributed runtime
+(/root/reference/vitlens/src/training/distributed.py:12-144 and the NCCL
+all_gather in loss.py): a `jax.sharding.Mesh` with a `data` axis spanning
+ICI (and DCN across slices), batches sharded over `data`, parameters
+replicated (the published recipes are pure DDP — SURVEY §2.7), with optional
+`model` axis hooks for ViT-bigG-scale tensor-parallel headroom.
+
+Process bootstrap (the SLURM/torchrun env discovery of distributed.py) is
+handled by jax.distributed.initialize on multi-host; single-host needs none.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a [data, model] mesh. Defaults to all devices on `data`."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    r = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+def local_batch_size(mesh: Mesh, global_batch: int) -> int:
+    n = mesh.shape[DATA_AXIS]
+    assert global_batch % n == 0, (global_batch, n)
+    return global_batch // n

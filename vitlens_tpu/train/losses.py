@@ -1,0 +1,268 @@
+"""Contrastive losses with mesh-native embedding gathering.
+
+Re-design of the reference loss zoo (/root/reference/vitlens/src/open_clip/
+loss.py): gather_features/ClipLoss/ClipLossGeneral/TriClipLoss/
+ClipLossLabelMask/TriClipLossLabelMask/ClipLossSimMask/TriClipDistillTokenLoss/
+DistillClipLoss/CoCaLoss.
+
+TPU design: the NCCL all_gather is replaced by `jax.lax.all_gather` over a
+mesh axis inside shard_map/pjit — which is differentiable by construction,
+i.e. identical to the reference's `--gather-with-grad` path (loss.py:55-61).
+The `local_loss` option computes only the [B_local, B_global] logit block with
+rank-offset labels (loss.py:107-113,128-133) so the full B_global² matrix
+never materialises on any chip.
+
+All loss math runs in fp32 regardless of feature dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy with integer labels (F.cross_entropy)."""
+    logits = _f32(logits)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(lse - picked)
+
+
+def gather_features(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
+    """All-gather embeddings over the data mesh axis. Differentiable
+    (== gather_with_grad). No-op outside a mapped context."""
+    if axis_name is None:
+        return x
+    g = jax.lax.all_gather(x, axis_name)  # [W, B, D]
+    return g.reshape((-1,) + g.shape[2:])
+
+
+def _pair_logits(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    axis_name: Optional[str],
+    local_loss: bool,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (logits_per_x, logits_per_y, labels).
+
+    mask (optional): [B_global, B_global] multiplicative 0/1 mask built from
+    gathered quantities; applied exactly like the reference (logits * mask).
+    """
+    x, y = _f32(x), _f32(y)
+    scale = _f32(logit_scale)
+    if axis_name is None:
+        lx = scale * x @ y.T
+        ly = scale * y @ x.T
+        if mask is not None:
+            lx = lx * mask
+            ly = ly * mask.T
+        labels = jnp.arange(x.shape[0])
+        return lx, ly, labels
+
+    all_x = gather_features(x, axis_name)
+    all_y = gather_features(y, axis_name)
+    if local_loss:
+        lx = scale * x @ all_y.T
+        ly = scale * y @ all_x.T
+        b = x.shape[0]
+        rank = jax.lax.axis_index(axis_name)
+        if mask is not None:
+            row0 = rank * b
+            lx = lx * jax.lax.dynamic_slice_in_dim(mask, row0, b, axis=0)
+            ly = ly * jax.lax.dynamic_slice_in_dim(mask.T, row0, b, axis=0)
+        labels = jnp.arange(b) + b * rank
+        return lx, ly, labels
+    lx = scale * all_x @ all_y.T
+    if mask is not None:
+        lx = lx * mask
+    ly = lx.T
+    labels = jnp.arange(all_x.shape[0])
+    return lx, ly, labels
+
+
+def clip_loss(
+    x_features: jnp.ndarray,
+    y_features: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    *,
+    axis_name: Optional[str] = None,
+    local_loss: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Symmetric InfoNCE between two feature sets
+    (reference ClipLoss/ClipLossGeneral, loss.py:234-385)."""
+    lx, ly, labels = _pair_logits(
+        x_features, y_features, logit_scale, axis_name, local_loss, mask
+    )
+    return 0.5 * (cross_entropy(lx, labels) + cross_entropy(ly, labels))
+
+
+def tri_clip_loss(
+    image_features: jnp.ndarray,
+    text_features: jnp.ndarray,
+    visual_features: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    *,
+    axis_name: Optional[str] = None,
+    local_loss: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(CE(I<->V) + CE(T<->V)) / 2 (reference TriClipLoss, loss.py:140-165).
+
+    Note the reference divides the SUM of 4 cross-entropies by 2, i.e. each
+    pair contributes a full symmetric CE."""
+    iv = clip_loss(image_features, visual_features, logit_scale,
+                   axis_name=axis_name, local_loss=local_loss, mask=mask)
+    tv = clip_loss(text_features, visual_features, logit_scale,
+                   axis_name=axis_name, local_loss=local_loss, mask=mask)
+    return iv + tv
+
+
+def label_mask(
+    x_labels: jnp.ndarray,
+    y_labels: jnp.ndarray,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """0/1 mask zeroing same-label negatives, keeping the diagonal
+    (reference ClipLossLabelMask/TriClipLossLabelMask, loss.py:601-746,
+    mask = ~(x_labels.T == y_labels) | eye)."""
+    ax = gather_features(x_labels, axis_name)
+    ay = gather_features(y_labels, axis_name)
+    n = ax.shape[0]
+    same = ax[:, None] == ay[None, :]
+    eye = jnp.eye(n, dtype=bool)
+    return (jnp.logical_or(~same, eye)).astype(jnp.float32)
+
+
+def sim_mask(
+    teacher_features: jnp.ndarray,
+    sim_thres: float = 0.9,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """0/1 mask zeroing negatives whose teacher-feature similarity exceeds
+    `sim_thres` (reference ClipLossSimMask, loss.py:485-598)."""
+    ax = _f32(gather_features(teacher_features, axis_name))
+    sim = ax @ ax.T
+    n = ax.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    return jnp.logical_or(~(sim >= sim_thres), eye).astype(jnp.float32)
+
+
+def distill_token_loss(
+    visual_tokens: jnp.ndarray,
+    image_tokens: jnp.ndarray,
+    loss_type: str = "mse",
+) -> jnp.ndarray:
+    """Token-level distillation (reference TriClipDistillTokenLoss
+    loss.py:192-231): mse or negative mean cosine."""
+    v, t = _f32(visual_tokens), _f32(image_tokens)
+    if loss_type == "mse":
+        return jnp.mean(jnp.square(v - t))
+    if loss_type == "cos":
+        vn = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        tn = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+        return -jnp.mean(jnp.sum(vn * tn, axis=-1))
+    raise ValueError(loss_type)
+
+
+def distill_clip_loss(
+    image_features: jnp.ndarray,
+    text_features: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    dist_image_features: jnp.ndarray,
+    dist_text_features: jnp.ndarray,
+    dist_logit_scale: jnp.ndarray,
+    *,
+    axis_name: Optional[str] = None,
+    local_loss: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Contrastive + teacher-logit distillation (reference DistillClipLoss,
+    loss.py:388-482): KL(student || softmax(teacher logits)) both directions."""
+    lx, ly, labels = _pair_logits(
+        image_features, text_features, logit_scale, axis_name, local_loss
+    )
+    tx, ty, _ = _pair_logits(
+        dist_image_features, dist_text_features, dist_logit_scale,
+        axis_name, local_loss,
+    )
+    contrastive = 0.5 * (cross_entropy(lx, labels) + cross_entropy(ly, labels))
+
+    def ce_soft(teacher_logits, student_logits):
+        t = jax.nn.softmax(_f32(teacher_logits), axis=1)
+        return jnp.mean(
+            -jnp.sum(t * jax.nn.log_softmax(_f32(student_logits), axis=1), axis=1)
+        )
+
+    distill = 0.5 * (ce_soft(tx, lx) + ce_soft(ty, ly))
+    return contrastive, distill
+
+
+def caption_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    pad_id: int = 0,
+    weight: float = 2.0,
+) -> jnp.ndarray:
+    """Autoregressive caption CE with pad masking (reference CoCaLoss,
+    loss.py:168-231: caption_loss_weight * F.cross_entropy(..., ignore_index=pad_id))."""
+    logits = _f32(logits)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    nll = lse - picked
+    valid = (labels != pad_id).astype(jnp.float32)
+    return weight * jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Loss selection (reference factory.py:750-851 create_loss)
+# ---------------------------------------------------------------------------
+
+
+def make_loss_fn(
+    n_tower: int = 3,
+    contra_loss_type: str = "general",
+    *,
+    axis_name: Optional[str] = None,
+    local_loss: bool = False,
+    sim_thres: float = 0.9,
+) -> Callable[..., jnp.ndarray]:
+    """Build the training loss callable keyed the same way as the reference
+    CLI (--n_tower, --contra_loss_type {general,label_mask,sim_mask})."""
+
+    if n_tower == 3:
+        def tri_fn(out: Dict[str, jnp.ndarray], labels=None) -> jnp.ndarray:
+            mask = None
+            if contra_loss_type == "label_mask" and labels is not None:
+                mask = label_mask(labels, labels, axis_name)
+            elif contra_loss_type == "sim_mask":
+                mask = sim_mask(out["image_features"], sim_thres, axis_name)
+            return tri_clip_loss(
+                out["image_features"], out["text_features"],
+                out["visual_features"], out["logit_scale"],
+                axis_name=axis_name, local_loss=local_loss, mask=mask,
+            )
+
+        return tri_fn
+
+    def dual_fn(out: Dict[str, jnp.ndarray], labels=None) -> jnp.ndarray:
+        anchor = out.get("anchor_features")
+        mask = None
+        if contra_loss_type == "label_mask" and labels is not None:
+            mask = label_mask(labels, labels, axis_name)
+        elif contra_loss_type == "sim_mask":
+            mask = sim_mask(anchor, sim_thres, axis_name)
+        return clip_loss(
+            anchor, out["visual_features"], out["logit_scale"],
+            axis_name=axis_name, local_loss=local_loss, mask=mask,
+        )
+
+    return dual_fn

@@ -1,0 +1,306 @@
+"""Training step: optimizer, sharded tri/dual contrastive step, accum-freq
+cached-negative replay.
+
+Re-design of the reference training loops (training/train.py:74-560) for the
+TPU execution model:
+  * pure DP over a `data` mesh axis via shard_map (the DDP equivalent);
+    params replicated, batch sharded, gradient pmean = DDP all-reduce,
+    embedding all_gather inside the loss = the reference's gather_features.
+  * AdamW with the reference's weight-decay exclusion (ndim<2 / bn / ln /
+    bias / logit_scale — audio_main.py:368-393) expressed as a name mask.
+  * freeze masks multiply optimizer updates (train only what the recipe
+    unlocks — see freeze.py).
+  * logit_scale clamped to [0, ln 100] post-update (train.py:248-249).
+  * --accum-freq>1: micro-batch feature cache with stop-gradient negatives
+    replay (train.py:154-210) via a scan-free static unroll.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vitlens_tpu.config import ModelConfig
+from vitlens_tpu.models import tri
+from vitlens_tpu.train import losses as losses_lib
+from vitlens_tpu.train.freeze import apply_mask, ones_like_mask
+from vitlens_tpu.train.schedules import get_schedule
+
+Params = Dict[str, Any]
+
+MAX_LOGIT_SCALE = math.log(100.0)
+
+_NO_DECAY_LEAF_NAMES = {
+    "b", "bias", "scale", "qkv_b", "out_b", "gamma",
+    "class_embedding", "logit_scale",
+}
+
+
+def wd_mask(params: Params) -> Params:
+    """True where weight decay applies. Mirrors the reference exclusion
+    (torch ndim<2 or name contains bn/ln/bias or logit_scale): our biases and
+    LN/BN scale+bias leaves are exactly the _NO_DECAY_LEAF_NAMES."""
+
+    def decide(path, leaf):
+        last = path[-1]
+        name = last.key if hasattr(last, "key") else str(last)
+        return name not in _NO_DECAY_LEAF_NAMES
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    lr: float = 5e-4
+    beta1: float = 0.9
+    beta2: float = 0.98  # reference default for ViT runs (params.py)
+    eps: float = 1e-6
+    weight_decay: float = 0.2
+    grad_clip_norm: Optional[float] = None
+    warmup: int = 10000
+    total_steps: int = 100000
+    schedule: str = "cosine"
+
+
+def make_optimizer(
+    params: Params,
+    cfg: OptimizerConfig,
+    trainable_mask: Optional[Params] = None,
+) -> Tuple[optax.GradientTransformation, Params]:
+    sched = get_schedule(cfg.schedule, cfg.lr, cfg.warmup, cfg.total_steps)
+    chain = []
+    if cfg.grad_clip_norm:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(
+        optax.adamw(
+            learning_rate=sched,
+            b1=cfg.beta1,
+            b2=cfg.beta2,
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+            mask=wd_mask(params),
+        )
+    )
+    tx = optax.chain(*chain)
+    if trainable_mask is None:
+        trainable_mask = ones_like_mask(params)
+    return tx, trainable_mask
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Params
+    model_state: Params  # BN running stats etc.
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params, model_state, tx) -> TrainState:
+    return TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def clamp_logit_scale(params: Params) -> Params:
+    out = dict(params)
+    out["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, MAX_LOGIT_SCALE)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tri / dual step factories
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    n_tower: int = 3                  # 3 = tri loss, 2 = dual (align_to)
+    align_to: str = "image"           # dual mode anchor: image | text
+    contra_loss_type: str = "general"  # general | label_mask | sim_mask
+    local_loss: bool = True
+    sim_thres: float = 0.9
+    accum_freq: int = 1
+    compute_dtype: Any = jnp.bfloat16
+    remat: bool = False
+    sync_bn: bool = True
+
+
+def _forward_features(
+    params, model_state, batch, model_cfg: ModelConfig, sc: StepConfig,
+    axis_name: Optional[str], train: bool, fps_key=None,
+):
+    """Encode whichever towers the step needs. Returns (out dict, new_state)."""
+    out: Dict[str, jnp.ndarray] = {
+        "logit_scale": jnp.exp(params["logit_scale"]).astype(jnp.float32)
+    }
+    new_state = model_state
+    dt = sc.compute_dtype
+    if sc.n_tower == 3:
+        out["image_features"] = tri.encode_image(
+            params, model_state, batch["image"], model_cfg,
+            normalize=True, compute_dtype=dt, remat=sc.remat,
+        )
+        out["text_features"] = tri.encode_text(
+            params, batch["text"], model_cfg,
+            normalize=True, compute_dtype=dt, remat=sc.remat,
+        )
+    else:
+        if sc.align_to in ("image", "video"):
+            out["anchor_features"] = tri.encode_image(
+                params, model_state, batch["image"], model_cfg,
+                normalize=True, compute_dtype=dt, remat=sc.remat,
+            )
+        else:
+            out["anchor_features"] = tri.encode_text(
+                params, batch["text"], model_cfg,
+                normalize=True, compute_dtype=dt, remat=sc.remat,
+            )
+    out["visual_features"], new_state = tri.encode_visual(
+        params, model_state, batch["visual"], model_cfg,
+        normalize=True, train=train, compute_dtype=dt, remat=sc.remat,
+        fps_key=fps_key,
+        bn_axis_name=axis_name if (sc.sync_bn and train) else None,
+    )
+    return out, new_state
+
+
+def _loss_from_features(out, batch, sc: StepConfig, axis_name):
+    labels = batch.get("label")
+    loss_fn = losses_lib.make_loss_fn(
+        sc.n_tower, sc.contra_loss_type,
+        axis_name=axis_name, local_loss=sc.local_loss, sim_thres=sc.sim_thres,
+    )
+    return loss_fn(out, labels)
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    tx: optax.GradientTransformation,
+    trainable_mask: Params,
+    sc: StepConfig = StepConfig(),
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+):
+    """Build the jitted sharded train step.
+
+    With a mesh: the whole step runs under shard_map — params/opt replicated,
+    batch sharded on `data`; grads pmean'd (DDP semantics); loss gathers
+    embeddings over the axis. Without a mesh: single-device step.
+    """
+
+    def micro_grads(params, model_state, batch, fps_key, ax):
+        def loss_of(p):
+            out, new_state = _forward_features(
+                p, model_state, batch, model_cfg, sc, ax, True, fps_key
+            )
+            loss = _loss_from_features(out, batch, sc, ax)
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        return loss, grads, new_state
+
+    def accum_grads(params, model_state, batch, fps_key, ax):
+        """--accum-freq replay (train.py:154-210): cache no-grad features for
+        all micro-batches, then per micro-batch recompute with grads and
+        splice the cached features of the others as negatives."""
+        A = sc.accum_freq
+
+        def split(x):
+            return x.reshape((A, x.shape[0] // A) + x.shape[1:])
+
+        mb = jax.tree.map(split, batch)
+        # pass 1: cached features, no grad
+        cached = []
+        st = model_state
+        for i in range(A):
+            bi = jax.tree.map(lambda x: x[i], mb)
+            out, st = _forward_features(params, st, bi, model_cfg, sc, ax, True,
+                                        None if fps_key is None else
+                                        jax.random.fold_in(fps_key, i))
+            cached.append({k: jax.lax.stop_gradient(v) for k, v in out.items()})
+
+        feature_keys = [k for k in cached[0] if k.endswith("_features")]
+        loss_total = 0.0
+        grads_total = jax.tree.map(jnp.zeros_like, params)
+        for i in range(A):
+            bi = jax.tree.map(lambda x: x[i], mb)
+
+            def loss_of(p):
+                out_i, _ = _forward_features(
+                    p, model_state, bi, model_cfg, sc, ax, True,
+                    None if fps_key is None else jax.random.fold_in(fps_key, i))
+                merged = {"logit_scale": out_i["logit_scale"]}
+                for k in feature_keys:
+                    rows = [cached[j][k] if j != i else out_i[k] for j in range(A)]
+                    merged[k] = jnp.concatenate(rows, axis=0)
+                big_batch = dict(batch)
+                return _loss_from_features(merged, big_batch, sc, ax)
+
+            li, gi = jax.value_and_grad(loss_of)(params)
+            loss_total = loss_total + li
+            grads_total = jax.tree.map(jnp.add, grads_total, gi)
+        scale = 1.0 / A
+        return (
+            loss_total * scale,
+            jax.tree.map(lambda g: g * scale, grads_total),
+            st,
+        )
+
+    def step_fn(state: TrainState, batch, fps_key=None):
+        ax = axis_name if mesh is not None else None
+        if sc.accum_freq > 1:
+            loss, grads, new_model_state = accum_grads(
+                state.params, state.model_state, batch, fps_key, ax
+            )
+        else:
+            loss, grads, new_model_state = micro_grads(
+                state.params, state.model_state, batch, fps_key, ax
+            )
+        if ax is not None:
+            grads = jax.lax.pmean(grads, ax)  # DDP grad all-reduce
+            loss = jax.lax.pmean(loss, ax)
+        grads = apply_mask(grads, trainable_mask)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = apply_mask(updates, trainable_mask)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = clamp_logit_scale(new_params)
+        new_state = TrainState(
+            params=new_params,
+            model_state=new_model_state,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "logit_scale": jnp.exp(new_params["logit_scale"]),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    repl = P()
+
+    def sharded(state, batch, fps_key):
+        return shard_map(
+            step_fn,
+            mesh=mesh,
+            in_specs=(repl, P(axis_name), repl),
+            out_specs=(repl, repl),
+            check_vma=False,
+        )(state, batch, fps_key)
+
+    return jax.jit(sharded)
