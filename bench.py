@@ -57,18 +57,24 @@ def main() -> int:
         np.random.RandomState(0).randn(BATCH, 512, 128), jnp.float32
     )
 
-    # compile + first run
+    # compile + first run. NOTE: on this backend block_until_ready() can
+    # return before execution completes; a host fetch (np.asarray) is the
+    # only reliable fence, and iterations are chained so none can be elided.
     t0 = time.time()
-    encode(params, state, fbank).block_until_ready()
+    np.asarray(encode(params, state, fbank))
     compile_s = time.time() - t0
 
-    # steady state
-    t0 = time.time()
-    for _ in range(ITERS):
-        out = encode(params, state, fbank)
-    out.block_until_ready()
-    dt = time.time() - t0
-    sps = BATCH * ITERS / dt
+    best = 0.0
+    for _trial in range(3):
+        t0 = time.time()
+        fb = fbank
+        for _ in range(ITERS):
+            out = encode(params, state, fb)
+            fb = fbank + 1e-6 * jnp.mean(out)  # chain: no dead-code elision
+        float(jnp.mean(out))  # fence
+        dt = time.time() - t0
+        best = max(best, BATCH * ITERS / dt)
+    sps = best
 
     print(
         json.dumps(

@@ -61,6 +61,14 @@ def install():
     # easydict
     _stub_module("easydict", EasyDict=_EasyDict)
 
+    # omegaconf (only OmegaConf.create used by processors' from_config)
+    class _OmegaConf:
+        @staticmethod
+        def create(d=None):
+            return _EasyDict(d or {})
+
+    _stub_module("omegaconf", OmegaConf=_OmegaConf)
+
     # torchvision bits referenced by open_clip.utils / transform
     tv = _stub_module("torchvision")
     tv_transforms = _stub_module("torchvision.transforms")

@@ -1,0 +1,174 @@
+"""One-stop inference API.
+
+`ViTLens` mirrors the reference mm_vit_lens.ViTLens
+(/root/reference/vitlens/src/mm_vit_lens/vitlens.py:21-189): load one tower
+per requested modality, `encode({modality: inputs}, normalize=True)` ->
+{modality: embeddings}; audio inputs are [B, n_clip, T, F] and clip
+embeddings are mean-pooled before normalization (vitlens.py:175-183).
+
+TPU design: towers share the frozen trunk weights where modalities use the
+same ViT; each modality's encode is a cached jit function; inputs are
+processed host-side by vitlens_tpu.data.processors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vitlens_tpu.config import ModalityType, make_model_config, image_tower_config
+from vitlens_tpu.data.processors import default_processors
+from vitlens_tpu.models import tri
+from vitlens_tpu.models.text import text_tower_apply
+from vitlens_tpu.models.vit import vision_tower_apply
+
+VISUAL_MODALITIES = ("pc", "audio", "depth", "tactile", "eeg", "video")
+
+
+def _l2n(x):
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return x / jnp.maximum(n, 1e-12)
+
+
+class ViTLens:
+    """Multi-modal encoder bound to one trunk (default ViT-L-14).
+
+    checkpoints: optional {modality: path-to-torch-ckpt} supplying the
+    released per-modality weights (vitlensL_{pc,audio,...}.pt) and/or a
+    single merged checkpoint under key "all".
+    """
+
+    def __init__(
+        self,
+        model_var: str = "vitlensL",
+        modality_loaded: Sequence[str] = ("image", "text"),
+        checkpoints: Optional[Dict[str, str]] = None,
+        compute_dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        trunk = {"vitlensL": "ViT-L-14", "vitlensB": "ViT-B-16"}[model_var]
+        self.model_var = model_var
+        self.trunk = trunk
+        self.compute_dtype = compute_dtype
+        self.modalities = list(modality_loaded)
+        self.processors = default_processors(self.modalities)
+        self._towers: Dict[str, Any] = {}
+        self._jit_cache: Dict[str, Any] = {}
+        checkpoints = checkpoints or {}
+
+        key = jax.random.PRNGKey(seed)
+        for m in self.modalities:
+            key, sub = jax.random.split(key)
+            self._init_modality(m, sub, checkpoints.get(m) or checkpoints.get("all"))
+
+    # -- construction ------------------------------------------------------
+
+    def _init_modality(self, m: str, key, ckpt_path: Optional[str]):
+        """Reference _init_modality_module (vitlens.py:37-107): image -> image
+        tower, text -> text tower, else -> Lens visual tower."""
+        cfg = make_model_config(self.trunk, m if m in VISUAL_MODALITIES else "image")
+        if m == "text":
+            from vitlens_tpu.models.text import text_tower_init
+
+            params = text_tower_init(key, cfg.text, cfg.embed_dim)
+            entry = {"cfg": cfg, "params": params, "state": None, "kind": "text"}
+        elif m == "image":
+            from vitlens_tpu.models.vit import vision_tower_init
+
+            tcfg = image_tower_config(cfg)
+            params, state = vision_tower_init(key, tcfg)
+            entry = {"cfg": cfg, "tower_cfg": tcfg, "params": params,
+                     "state": state, "kind": "image"}
+        else:
+            from vitlens_tpu.models.vit import vision_tower_init
+
+            params, state = vision_tower_init(key, cfg.tower)
+            entry = {"cfg": cfg, "tower_cfg": cfg.tower, "params": params,
+                     "state": state, "kind": "visual"}
+
+        if ckpt_path:
+            self._load_ckpt(entry, m, ckpt_path)
+        self._towers[m] = entry
+
+    def _load_ckpt(self, entry, m: str, path: str):
+        from vitlens_tpu.weights.torch_convert import (
+            convert_text_tower, convert_vision_tower, load_torch_checkpoint,
+            strip_prefixes, sub,
+        )
+
+        sd = strip_prefixes(load_torch_checkpoint(path))
+        cfg = entry["cfg"]
+        if entry["kind"] == "text":
+            if "token_embedding.weight" in sd:
+                entry["params"] = convert_text_tower(sd, cfg.text.layers)
+            elif any(k.startswith("text.") for k in sd):
+                entry["params"] = convert_text_tower(sub(sd, "text."), cfg.text.layers)
+        else:
+            prefix = "image." if (entry["kind"] == "image" and
+                                  any(k.startswith("image.") for k in sd)) else "visual."
+            tower_sd = sub(sd, prefix) if any(
+                k.startswith(prefix) for k in sd) else sd
+            entry["params"], entry["state"] = convert_vision_tower(
+                tower_sd, entry["tower_cfg"]
+            )
+
+    # -- encoding ----------------------------------------------------------
+
+    def _encode_fn(self, m: str):
+        if m in self._jit_cache:
+            return self._jit_cache[m]
+        entry = self._towers[m]
+        cfg = entry["cfg"]
+        dt = self.compute_dtype
+
+        if entry["kind"] == "text":
+            @jax.jit
+            def fn(params, x):
+                return text_tower_apply(params, x, cfg.text,
+                                        quick_gelu=cfg.quick_gelu,
+                                        compute_dtype=dt)
+        else:
+            tcfg = entry["tower_cfg"]
+
+            @jax.jit
+            def fn(params, state, x):
+                feats, _ = vision_tower_apply(params, state, x, tcfg,
+                                              compute_dtype=dt)
+                return feats
+
+        self._jit_cache[m] = fn
+        return fn
+
+    def encode(self, inputs: Dict[str, Any], normalize: bool = True,
+               preprocessed: bool = False) -> Dict[str, jnp.ndarray]:
+        """inputs: {modality: list of file paths / raw strings (text) /
+        arrays}. Returns {modality: [B, embed_dim]}."""
+        out: Dict[str, jnp.ndarray] = {}
+        for m, data in inputs.items():
+            if m not in self._towers:
+                raise KeyError(f"modality {m!r} not loaded; have {self.modalities}")
+            x = data if preprocessed else self.processors[m](data)
+            x = jnp.asarray(np.asarray(x))
+            entry = self._towers[m]
+            fn = self._encode_fn(m)
+            if entry["kind"] == "text":
+                feats = fn(entry["params"], x)
+            elif m == "audio" and x.ndim == 4:
+                B, S = x.shape[:2]
+                feats = fn(entry["params"], entry["state"],
+                           x.reshape((B * S,) + x.shape[2:]))
+                feats = feats.reshape(B, S, -1).mean(axis=1)  # clip mean
+            else:
+                feats = fn(entry["params"], entry["state"], x)
+            out[m] = _l2n(feats) if normalize else feats
+        return out
+
+    # -- checkpoint export (reference vitlens.py:153-159) ------------------
+
+    def export_params(self) -> Dict[str, Any]:
+        return {m: self._towers[m]["params"] for m in self.modalities}
