@@ -1,0 +1,112 @@
+"""Training CLI arguments.
+
+One typed surface replacing the reference's ~170-flag argparse
+(training/params.py:1-1013). Flags keep the reference names where they
+exist so recipes translate 1:1; defaults follow params.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field, fields
+from typing import Optional
+
+
+@dataclass
+class TrainArgs:
+    # model / tower
+    model: str = "ViT-L-14"
+    modality: str = "audio"          # pc | audio | depth | tactile | eeg | image
+    pretrained: Optional[str] = None  # torch ckpt path (CLIP trunk)
+    resume: Optional[str] = None      # 'latest' or path
+    resume_ckpt_only: bool = False
+    force_quick_gelu: bool = False
+
+    # loss / towers (params.py --n_tower/--use_dual_loss/--contra_loss_type)
+    n_tower: int = 3
+    align_to: str = "image"           # dual-mode anchor
+    contra_loss_type: str = "general"  # general | label_mask | sim_mask
+    sim_thres: float = 0.9
+    local_loss: bool = True
+    gather_with_grad: bool = True     # always true on TPU (all_gather is differentiable)
+
+    # data
+    train_data: Optional[str] = None
+    val_data: Optional[str] = None
+    dataset_type: str = "auto"        # auto | synthetic
+    batch_size: int = 32              # per-chip
+    workers: int = 4
+    train_num_samples: Optional[int] = None
+
+    # optimization (params.py defaults)
+    lr: float = 5e-4
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-6
+    wd: float = 0.2
+    warmup: int = 10000
+    epochs: int = 32
+    lr_scheduler: str = "cosine"
+    grad_clip_norm: Optional[float] = None
+    accum_freq: int = 1
+    precision: str = "bf16"           # bf16 | fp32 | pure_bf16
+    grad_checkpointing: bool = False
+
+    # locking (params.py --lock-image/--lock-text/--lock-visual + unlock-*)
+    lock_image: bool = True
+    lock_text: bool = True
+    lock_visual: bool = True
+    lock_visual_unlocked_groups: int = 0
+    unlock_from_head: bool = False
+    unlock_cls: bool = False
+    unlock_pos_emb: bool = False
+    unlock_trans_first_n_layers: Optional[int] = None
+    skip_trans_first_n_layers: Optional[int] = None
+
+    # bookkeeping
+    logs: str = "./logs"
+    name: Optional[str] = None
+    save_frequency: int = 1
+    save_most_recent: bool = True
+    val_frequency: int = 1
+    log_every_n_steps: int = 100
+    seed: int = 0
+    report_to: str = ""               # 'tensorboard' and/or 'wandb'
+    remote_sync: Optional[str] = None
+    remote_sync_frequency: int = 300
+
+    # parallelism
+    n_devices: Optional[int] = None   # default all
+    use_bn_sync: bool = True
+
+
+def _add_bool(p, name, default, help=""):
+    dest = name.replace("-", "_")
+    p.add_argument(f"--{name}", dest=dest, default=default,
+                   action=argparse.BooleanOptionalAction, help=help)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("vitlens-tpu training")
+    d = TrainArgs()
+    for f in fields(TrainArgs):
+        name = f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            _add_bool(p, name, f.default)
+        else:
+            typ = str
+            if isinstance(f.default, int):
+                typ = int
+            elif isinstance(f.default, float):
+                typ = float
+            elif f.type in ("Optional[int]",):
+                typ = int
+            elif f.type in ("Optional[float]",):
+                typ = float
+            p.add_argument(f"--{name}", type=typ, default=f.default)
+    return p
+
+
+def parse_args(argv=None) -> TrainArgs:
+    ns = build_parser().parse_args(argv)
+    return TrainArgs(**vars(ns))

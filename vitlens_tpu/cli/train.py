@@ -1,0 +1,328 @@
+"""Training driver.
+
+TPU re-design of the reference per-modality mains
+({pc,depth,audio,tactile,eeg}_{main,tri_main}.py, ~6100 LoC of ~95%-identical
+code) as ONE driver: build model + mesh + data + loss, run epochs with the
+sharded train step, evaluate each epoch, checkpoint latest/best, resume.
+Eval-only mode when --train-data is absent (reference audio_main.py:525-535).
+
+Usage:
+  python -m vitlens_tpu.cli.train --modality audio --n-tower 3 \
+      --train-data audioset@train --val-data esc50@fold-1 ...
+  python -m vitlens_tpu.cli.train --modality pc --val-data modelnet40  # eval-only
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vitlens_tpu.cli.args import TrainArgs, parse_args
+from vitlens_tpu.config import make_model_config
+from vitlens_tpu.data.loader import (
+    DataInfo, DevicePrefetcher, SyntheticDataset, build_loader,
+)
+from vitlens_tpu.models import tri
+from vitlens_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from vitlens_tpu.train import checkpoint as C
+from vitlens_tpu.train.freeze import ones_like_mask, tri_model_mask
+from vitlens_tpu.train.step import (
+    OptimizerConfig, StepConfig, TrainState, init_train_state, make_optimizer,
+    make_train_step,
+)
+from vitlens_tpu.utils.logging import (
+    MetricsWriter, ThroughputMeter, dump_params, log_param_census, setup_logging,
+)
+
+MODALITY_BATCH_KEY = {"pc": "pc", "audio": "audio", "depth": "depth",
+                      "tactile": "tactile", "eeg": "eeg"}
+
+
+def build_train_data(args: TrainArgs, tokenizer, n_shards: int,
+                     cfg=None) -> Optional[DataInfo]:
+    if not args.train_data:
+        return None
+    if args.dataset_type == "synthetic":
+        spec = _synthetic_spec(args, cfg)
+        ds = SyntheticDataset(spec, n=args.train_num_samples or 1024,
+                              seed=args.seed)
+        return build_loader(ds, batch_size=args.batch_size * n_shards,
+                            shuffle=True, seed=args.seed,
+                            num_workers=args.workers)
+    ds = _build_real_dataset(args, args.train_data, train=True)
+    return build_loader(ds, batch_size=args.batch_size * n_shards,
+                        shuffle=True, seed=args.seed, num_workers=args.workers)
+
+
+def _synthetic_spec(args: TrainArgs, cfg=None) -> Dict[str, tuple]:
+    hw = cfg.vision.image_size if cfg is not None else 224
+    ctx = cfg.text.context_length if cfg is not None else 77
+    tower = cfg.tower if cfg is not None else None
+    vis_shapes = {
+        "pc": ((tower.point.npoints if tower and tower.point else 8192), 3),
+        "audio": ((tower.audio.target_length if tower and tower.audio else 512),
+                  (tower.audio.mel_bins if tower and tower.audio else 128)),
+        "depth": (1, hw, hw),
+        "tactile": (3, hw, hw),
+        "eeg": ((tower.eeg.chans if tower and tower.eeg else 128),
+                (tower.eeg.time_len if tower and tower.eeg else 512)),
+    }
+    return {
+        "image": ((3, hw, hw), "f"),
+        "text": ((ctx,), "i"),
+        "visual": (vis_shapes[args.modality], "f"),
+    }
+
+
+def _build_real_dataset(args: TrainArgs, spec: str, train: bool):
+    from vitlens_tpu.data import datasets as D
+
+    m = args.modality
+    if m == "audio":
+        return D.create_audio_datasets(spec, train=train)[0]
+    if m == "depth":
+        return D.create_rgbd_datasets(spec)[0]
+    if m == "tactile":
+        return D.TAGDataset(split=spec)
+    if m == "eeg":
+        return D.EEGDataset(split=spec)
+    if m == "pc":
+        if spec.startswith("modelnet"):
+            return D.ModelNetDataset()
+        if spec.startswith("scanobjectnn"):
+            return D.ScanObjectNNDataset()
+        return D.PCTripletDataset(anno_path=spec, augment=train)
+    raise ValueError(m)
+
+
+def _prep_batch(raw: Dict[str, Any], args: TrainArgs, tokenizer) -> Dict[str, Any]:
+    """Map dataset keys -> train-step keys; tokenize captions host-side."""
+    batch: Dict[str, Any] = {}
+    vk = MODALITY_BATCH_KEY.get(args.modality, "visual")
+    batch["visual"] = np.asarray(raw.get("visual", raw.get(vk)))
+    if args.modality == "audio" and batch["visual"].ndim == 4:
+        batch["visual"] = batch["visual"][:, 0]  # train uses 1 clip
+    if "image" in raw:
+        batch["image"] = np.asarray(raw["image"])
+    if "text" in raw:
+        batch["text"] = np.asarray(raw["text"])
+    elif "caption_str" in raw:
+        batch["text"] = tokenizer(list(raw["caption_str"]))
+    if "label" in raw:
+        batch["label"] = np.asarray(raw["label"])
+    return batch
+
+
+def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, float]:
+    """Zero-shot eval on --val-data (dispatch on dataset.eval_metric)."""
+    if not args.val_data:
+        return {}
+    from vitlens_tpu.eval.zero_shot import (
+        build_zero_shot_classifier, classification_eval, map_eval,
+        retrieval_eval,
+    )
+
+    compute_dtype = _dtype(args)
+
+    @jax.jit
+    def enc_vis(x):
+        feats, _ = tri.encode_visual(params, model_state, x, cfg,
+                                     normalize=False,
+                                     compute_dtype=compute_dtype)
+        return feats
+
+    @jax.jit
+    def enc_txt(toks):
+        return tri.encode_text(params, toks, cfg, normalize=False,
+                               compute_dtype=compute_dtype)
+
+    def encode_visual(x):
+        return np.asarray(enc_vis(jnp.asarray(x)), np.float32)
+
+    def encode_text(toks):
+        return np.asarray(enc_txt(jnp.asarray(toks)), np.float32)
+
+    results = {}
+    for spec in args.val_data.split("::"):
+        ds = _build_real_dataset(args, spec, train=False)
+        vk = MODALITY_BATCH_KEY.get(args.modality, "visual")
+        metric = getattr(ds, "eval_metric", "acc")
+        clip_mean = args.modality == "audio"
+
+        def batches():
+            info = build_loader(ds, batch_size=args.batch_size, shuffle=False,
+                                num_workers=args.workers, drop_last=False)
+            for b in info.dataloader:
+                tgt = b.get("targets", b.get("label"))
+                yield np.asarray(b["id"]), np.asarray(b[vk]), np.asarray(tgt)
+
+        if metric == "recall":
+            out = retrieval_eval(
+                encode_visual, encode_text, tokenizer,
+                ((i, x) for i, x, _ in batches()),
+                texts=ds.texts, text_ids=ds.text_ids, clip_mean=clip_mean,
+            )
+        else:
+            classifier = build_zero_shot_classifier(
+                encode_text, tokenizer, ds.classnames, ds.templates)
+            runner = classification_eval if metric == "acc" else map_eval
+            out = runner(encode_visual, batches(), classifier,
+                         clip_mean=clip_mean)
+        results[spec] = out
+        logging.info(f"eval[{spec}]: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in out.items()
+            if isinstance(v, (int, float))))
+    return results
+
+
+def _dtype(args: TrainArgs):
+    return {"bf16": jnp.bfloat16, "pure_bf16": jnp.bfloat16,
+            "fp32": jnp.float32}[args.precision]
+
+
+def _primary_metric(results: Dict[str, Dict]) -> float:
+    total = 0.0
+    for out in results.values():
+        for key in ("accuracy", "map", "r_mean"):
+            if key in out:
+                total += float(out[key])
+                break
+    return total
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    name = args.name or f"{args.modality}_{args.model}_{time.strftime('%Y%m%d_%H%M%S')}"
+    log_dir = os.path.join(args.logs, name)
+    setup_logging(os.path.join(log_dir, "out.log"))
+    dump_params(log_dir, vars(args))
+
+    from vitlens_tpu.text.tokenizer import get_tokenizer
+
+    tokenizer = get_tokenizer()
+
+    cfg = make_model_config(
+        args.model, args.modality, quick_gelu=args.force_quick_gelu,
+        skip_first_n_layers=args.skip_trans_first_n_layers,
+    )
+    params, model_state = tri.tri_model_init(jax.random.PRNGKey(args.seed), cfg)
+    if args.pretrained:
+        from vitlens_tpu.factory import _merge
+        from vitlens_tpu.weights.torch_convert import (
+            convert_tri_state_dict, load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(args.pretrained)
+        lp, ls = convert_tri_state_dict(sd, cfg)
+        params, model_state = _merge(params, lp), _merge(model_state, ls)
+        logging.info(f"loaded pretrained {args.pretrained}")
+
+    devices = jax.devices()[: args.n_devices] if args.n_devices else jax.devices()
+    mesh = make_mesh(devices=devices) if len(devices) > 1 else None
+    n_shards = len(devices) if mesh is not None else 1
+
+    mask = tri_model_mask(
+        params, cfg,
+        lock_image=args.lock_image, lock_text=args.lock_text,
+        lock_visual=args.lock_visual,
+        visual_unlocked_groups=args.lock_visual_unlocked_groups,
+        unlock_from_head=args.unlock_from_head, unlock_cls=args.unlock_cls,
+        unlock_pos_emb=args.unlock_pos_emb,
+        unlock_trans_first_n_layers=args.unlock_trans_first_n_layers,
+    )
+    log_param_census(params, mask)
+
+    train_info = build_train_data(args, tokenizer, n_shards, cfg)
+    if train_info is None:
+        results = evaluate(args, params, model_state, cfg, tokenizer)
+        MetricsWriter(log_dir).log(
+            {k: _primary_metric({k: v}) for k, v in results.items()}, 0, "val")
+        return 0
+
+    steps_per_epoch = train_info.num_batches
+    total_steps = steps_per_epoch * args.epochs
+    tx, mask = make_optimizer(
+        params,
+        OptimizerConfig(lr=args.lr, beta1=args.beta1, beta2=args.beta2,
+                        eps=args.eps, weight_decay=args.wd,
+                        grad_clip_norm=args.grad_clip_norm,
+                        warmup=args.warmup, total_steps=total_steps,
+                        schedule=args.lr_scheduler),
+        mask,
+    )
+    sc = StepConfig(
+        n_tower=args.n_tower, align_to=args.align_to,
+        contra_loss_type=args.contra_loss_type, local_loss=args.local_loss,
+        sim_thres=args.sim_thres, accum_freq=args.accum_freq,
+        compute_dtype=_dtype(args), remat=args.grad_checkpointing,
+        sync_bn=args.use_bn_sync and mesh is not None,
+    )
+    step = make_train_step(cfg, tx, mask, sc, mesh=mesh)
+    ts = init_train_state(params, model_state, tx)
+
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+    start_epoch = 0
+    if args.resume:
+        path = (C.get_latest_checkpoint(ckpt_dir) if args.resume == "latest"
+                else args.resume)
+        if path:
+            ts = C.load_checkpoint(path, ts, ckpt_only=args.resume_ckpt_only)
+            start_epoch = C.load_meta(path).get("epoch", 0)
+            logging.info(f"resumed from {path} (epoch {start_epoch})")
+
+    if mesh is not None:
+        ts = replicate(mesh, ts)
+    writer = MetricsWriter(log_dir, use_tensorboard="tensorboard" in args.report_to)
+    meter = ThroughputMeter(n_chips=n_shards)
+    sync_stop = None
+    if args.remote_sync:
+        sync_stop = C.start_remote_sync(ckpt_dir, args.remote_sync,
+                                        args.remote_sync_frequency)
+
+    rng = jax.random.PRNGKey(args.seed)
+    global_step = int(np.asarray(ts.step))
+    for epoch in range(start_epoch, args.epochs):
+        train_info.set_epoch(epoch)
+        for raw in train_info.dataloader:
+            batch = _prep_batch(raw, args, tokenizer)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            rng, sub = jax.random.split(rng)
+            ts, metrics = step(ts, batch, sub)
+            global_step += 1
+            if global_step % args.log_every_n_steps == 0:
+                sps, spsc = meter.tick_step(
+                    args.batch_size * n_shards * args.log_every_n_steps)
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                m.update({"samples_per_s": sps, "samples_per_s_chip": spsc,
+                          "epoch": epoch})
+                writer.log(m, global_step, "train")
+                logging.info(
+                    f"epoch {epoch} step {global_step}: "
+                    + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        # end epoch: eval + ckpt
+        host_ts = jax.tree.map(np.asarray, ts)
+        if args.val_data and (epoch + 1) % args.val_frequency == 0:
+            results = evaluate(args, host_ts.params, host_ts.model_state, cfg,
+                               tokenizer)
+            metric = _primary_metric(results)
+            writer.log({"primary": metric}, global_step, "val")
+            C.save_best(ckpt_dir, host_ts, epoch + 1, metric)
+        if (epoch + 1) % args.save_frequency == 0 or args.save_most_recent:
+            C.save_checkpoint(ckpt_dir, host_ts, epoch + 1,
+                              is_latest=args.save_most_recent)
+    if sync_stop is not None:
+        sync_stop.set()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -250,6 +250,14 @@ ARCH_REGISTRY: Dict[str, Dict[str, Any]] = {
         ),
         text=TextArch(width=1280, heads=20, layers=32),
     ),
+    # tiny arch for smoke tests / CI (not a reference model)
+    "ViT-Tiny-Test": dict(
+        embed_dim=32,
+        vision=VisionArch(image_size=28, patch_size=14, width=64, layers=2,
+                          head_width=32),
+        text=TextArch(context_length=77, vocab_size=49408, width=64, heads=2,
+                      layers=2),
+    ),
     # EVA ViT-g trunk used by the vitlensG MLLM plug-in
     # (reference: third_vit/blip_eva_vit.py:763-800 create_eva_vit_g)
     "EVA-g-14": dict(

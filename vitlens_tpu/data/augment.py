@@ -1,0 +1,149 @@
+"""Training-time augmentations (host-side numpy).
+
+Mirrors the reference semantics with explicit RNG:
+  * point-cloud augs (modal_3d/datasets.py:97-211): y-axis rotation,
+    point dropout, per-cloud scale/shift, per-point jitter, small-angle
+    perturbation
+  * audio SpecAug (modal_audio/processors/at_processor.py:336-362):
+    frequency/time masking + noise + time roll on fbank
+  * image train transform: RandomResizedCrop(scale=(0.9, 1.0), bicubic)
+    (open_clip/transform.py:73-155)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+# -- point cloud ------------------------------------------------------------
+
+
+def rotate_point_cloud_y(pc: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """[N,3] rotation about the up (y) axis."""
+    a = rng.uniform() * 2 * np.pi
+    c, s = np.cos(a), np.sin(a)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    return pc @ rot
+
+
+def random_point_dropout(pc: np.ndarray, rng: np.random.RandomState,
+                         max_dropout_ratio: float = 0.875) -> np.ndarray:
+    ratio = rng.random_sample() * max_dropout_ratio
+    drop = rng.random_sample(pc.shape[0]) <= ratio
+    out = pc.copy()
+    out[drop] = pc[0]
+    return out
+
+
+def random_scale(pc: np.ndarray, rng, lo=0.8, hi=1.25) -> np.ndarray:
+    return pc * rng.uniform(lo, hi)
+
+
+def random_shift(pc: np.ndarray, rng, rng_shift=0.1) -> np.ndarray:
+    return pc + rng.uniform(-rng_shift, rng_shift, (1, 3)).astype(pc.dtype)
+
+
+def jitter(pc: np.ndarray, rng, sigma=0.01, clip=0.05) -> np.ndarray:
+    return pc + np.clip(sigma * rng.randn(*pc.shape), -clip, clip).astype(pc.dtype)
+
+
+def rotate_perturbation(pc: np.ndarray, rng, angle_sigma=0.06,
+                        angle_clip=0.18) -> np.ndarray:
+    a = np.clip(angle_sigma * rng.randn(3), -angle_clip, angle_clip)
+    cx, sx = np.cos(a[0]), np.sin(a[0])
+    cy, sy = np.cos(a[1]), np.sin(a[1])
+    cz, sz = np.cos(a[2]), np.sin(a[2])
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (pc @ (rz @ ry @ rx).T.astype(np.float32))
+
+
+def train_point_transform(pc: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Standard ULIP-style train aug chain (dropout -> scale -> shift)."""
+    pc = random_point_dropout(pc, rng)
+    pc = random_scale(pc, rng)
+    pc = random_shift(pc, rng)
+    return pc.astype(np.float32)
+
+
+# -- audio spec aug ---------------------------------------------------------
+
+
+def spec_augment(fbank: np.ndarray, rng: np.random.RandomState,
+                 freq_mask: int = 48, time_mask: int = 192,
+                 noise: bool = True, roll: bool = True) -> np.ndarray:
+    """fbank [T, F] -> masked/noised/rolled. Mirrors the reference train
+    transform (at_processor.py:336-362): FrequencyMasking/TimeMasking on the
+    [F, T] view, then uniform noise scaled by U(0,1)/10, then time roll in
+    [-10, 10) frames."""
+    out = fbank.copy()
+    T, F = out.shape
+    if freq_mask > 0:
+        f = rng.randint(0, freq_mask + 1)
+        f0 = rng.randint(0, max(F - f, 1))
+        out[:, f0:f0 + f] = 0
+    if time_mask > 0:
+        t = rng.randint(0, time_mask + 1)
+        t0 = rng.randint(0, max(T - t, 1))
+        out[t0:t0 + t, :] = 0
+    if noise:
+        out = out + (rng.random_sample((T, F)).astype(out.dtype)
+                     * (rng.random_sample() / 10.0))
+    if roll:
+        out = np.roll(out, rng.randint(-10, 10), axis=0)
+    return out
+
+
+def waveform_mixup(wf_a: np.ndarray, wf_b: np.ndarray,
+                   rng: np.random.RandomState,
+                   alpha: float = 10.0) -> Tuple[np.ndarray, float]:
+    """AudioSet waveform mixup with Beta(10,10) (modal_audio/datasets.py
+    audio_mix_up)."""
+    lam = rng.beta(alpha, alpha)
+    n = min(wf_a.shape[-1], wf_b.shape[-1])
+    mixed = lam * wf_a[..., :n] + (1 - lam) * wf_b[..., :n]
+    mixed = mixed - mixed.mean()
+    return mixed.astype(np.float32), float(lam)
+
+
+# -- image train transform --------------------------------------------------
+
+
+def random_resized_crop(img: Image.Image, rng: np.random.RandomState,
+                        size: int = 224, scale=(0.9, 1.0),
+                        ratio=(3 / 4, 4 / 3)) -> Image.Image:
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+        aspect = np.exp(rng.uniform(*log_ratio))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw + 1)
+            top = rng.randint(0, h - ch + 1)
+            return img.resize((size, size), Image.BICUBIC,
+                              box=(left, top, left + cw, top + ch))
+    # fallback: center crop
+    m = min(w, h)
+    left, top = (w - m) // 2, (h - m) // 2
+    return img.resize((size, size), Image.BICUBIC,
+                      box=(left, top, left + m, top + m))
+
+
+def train_image_transform(img: Image.Image, rng: np.random.RandomState,
+                          size: int = 224, mean=None, std=None) -> np.ndarray:
+    from vitlens_tpu.config import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+    mean = mean or OPENAI_DATASET_MEAN
+    std = std or OPENAI_DATASET_STD
+    img = random_resized_crop(img.convert("RGB"), rng, size)
+    arr = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+    mean = np.asarray(mean, np.float32)[:, None, None]
+    stdv = np.asarray(std, np.float32)[:, None, None]
+    return (arr - mean) / stdv

@@ -1,0 +1,144 @@
+"""Zero-shot prompt templates and label metadata.
+
+Template sets mirror the reference's public prompt collections
+(modal_audio/data/sound_cls_template.py, modal_depth/data/
+scene_cls_template.py, training/zero_shot.py:836-840 tactile,
+zero_shot.py EEG "an image of {}"). Large label/template tables (ModelNet40
+labels, ESC50 folds, AudioSet classes, ImageNet classnames) are DATA and are
+loaded from a metadata root: $VITLENS_METADATA_DIR, or the reference
+checkout's modal_*/data directories when present.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+_REF_ROOT = "/root/reference/vitlens/src/open_clip"
+
+SOUND_CLS_TEMPLATE = (
+    lambda c: f"The sound of {c.lower()}.",
+    lambda c: f"This is the sound of {c.lower()}.",
+    lambda c: f"A sound of {c.lower()}.",
+    lambda c: f"This is a sound of {c.lower()}.",
+)
+
+SOUND_AS_IMAGE_TEMPLATE = (
+    lambda c: f"{c}.",
+    lambda c: f"An image depicting {c}.",
+    lambda c: f"{c}.",
+    lambda c: f"An image showing {c}.",
+    lambda c: f"{c}.",
+    lambda c: f"This is {c}.",
+    lambda c: f"A photograph shows {c}.",
+    lambda c: f"An image of {c}.",
+    lambda c: f"A good image of {c}.",
+    lambda c: f"A photo of {c}.",
+    lambda c: f"A picture of {c}.",
+    lambda c: f"A bright image of {c}.",
+)
+
+SCENE_CLS_TEMPLATE = (
+    lambda c: f"An image depicting a {c} environment.",
+    lambda c: f"This location is best described as {c}.",
+    lambda c: f"This location is {c}.",
+    lambda c: f"A visual scene of {c} setting.",
+    lambda c: f"This picture showcases a {c} environment.",
+    lambda c: f"This place is {c}.",
+    lambda c: f"An example of {c} scene category.",
+    lambda c: f"An example of a {c} scene.",
+    lambda c: f"This scene can be described as {c}.",
+    lambda c: f"A visual scene of a {c} location.",
+    lambda c: f"This photograph captures a {c} scene.",
+    lambda c: f"This is a {c} setting.",
+    lambda c: f"This image corresponds to a {c} scene.",
+    lambda c: f"This photograph shows {c}.",
+    lambda c: f"This is an image of {c}.",
+    lambda c: f"A good image of {c}.",
+    lambda c: f"A photo of the nice {c}.",
+    lambda c: f"A picture of {c}.",
+    lambda c: f"A bright image of {c}.",
+)
+
+TACTILE_MATERIAL_TEMPLATE = (
+    lambda c: f"an image of {c}.",
+    lambda c: f"a tactile image of {c}.",
+)
+
+TACTILE_PROPERTY_TEMPLATE = (
+    lambda c: f"the meterial is {c}.",  # (sic — mirrors the reference prompt)
+    lambda c: f"this type of material is {c}.",
+)
+
+EEG_TEMPLATE = (lambda c: f"an image of {c}.",)
+
+
+def expand_templates(templates, classname: str) -> List[str]:
+    """Apply a template set (callables or '{}' format strings)."""
+    out = []
+    for t in templates:
+        out.append(t(classname) if callable(t) else t.format(classname))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# metadata roots
+# ---------------------------------------------------------------------------
+
+
+def metadata_dir(modality: str) -> Optional[str]:
+    env = os.environ.get("VITLENS_METADATA_DIR")
+    sub = {
+        "pc": "modal_3d/data", "audio": "modal_audio/data",
+        "depth": "modal_depth/data", "tactile": "modal_tactile/data",
+        "eeg": "modal_eeg/data",
+    }[modality]
+    for root in ([env] if env else []) + [_REF_ROOT]:
+        cand = os.path.join(root, sub)
+        if os.path.isdir(cand):
+            return cand
+    return None
+
+
+def load_pc_templates(prompt_set: str = "modelnet40_64") -> List[str]:
+    d = metadata_dir("pc")
+    with open(os.path.join(d, "templates.json")) as f:
+        return json.load(f)[prompt_set]
+
+
+def load_pc_labels(dataset: str = "modelnet40") -> List[str]:
+    d = metadata_dir("pc")
+    with open(os.path.join(d, "labels.json")) as f:
+        return json.load(f)[dataset]
+
+
+def load_esc50_labels() -> List[str]:
+    d = metadata_dir("audio")
+    with open(os.path.join(d, "esc50_label.json")) as f:
+        labels = json.load(f)
+    return labels
+
+
+def load_audioset_classes() -> List[str]:
+    """AudioSet 527 display names from class_labels_indices.csv."""
+    d = metadata_dir("audio")
+    out = []
+    with open(os.path.join(d, "audioset_class_labels_indices.csv")) as f:
+        for row in csv.DictReader(f):
+            out.append(row["display_name"])
+    return out
+
+
+def load_scene_names(dataset: str = "nyu") -> List[str]:
+    d = metadata_dir("depth")
+    fname = "nyu-depth-v2_scene_name.json"
+    with open(os.path.join(d, fname)) as f:
+        return json.load(f)
+
+
+def load_imagenet_cls_mapping() -> Dict:
+    d = metadata_dir("eeg")
+    with open(os.path.join(d, "imagenet_cls_mapping.json")) as f:
+        return json.load(f)

@@ -1,0 +1,169 @@
+"""Zero-shot evaluation harness.
+
+Re-design of the reference per-benchmark eval loops
+(/root/reference/vitlens/src/training/zero_shot.py and
+open_clip/zero_shot_classifier.py:27-88): a template-averaged classifier
+builder plus generic runners dispatched by `eval_metric` in
+{"acc", "map", "recall"} — the same dispatch key the reference datasets carry
+(modal_audio/datasets.py `.eval_metric`).
+
+Runners take callables + batch iterables, so they work with any tower and
+any data pipeline. Classifier logits intentionally use the plain feature
+inner product (reference uses `feat @ text.T`, scale-free for argmax).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vitlens_tpu.eval.metadata import expand_templates
+from vitlens_tpu.eval.metrics import MAP, Accuracy, Recall
+
+
+def _l2n(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def build_zero_shot_classifier(
+    encode_text: Callable[[np.ndarray], np.ndarray],
+    tokenizer: Callable[[Sequence[str]], np.ndarray],
+    classnames: Sequence[str],
+    templates: Sequence,
+) -> np.ndarray:
+    """[num_classes, D]: per class, encode all template prompts, normalize,
+    mean, normalize again (reference zero_shot.py:174-190)."""
+    feats = []
+    for name in classnames:
+        texts = expand_templates(templates, name)
+        emb = np.asarray(encode_text(tokenizer(texts)), np.float32)
+        emb = _l2n(emb).mean(axis=0)
+        feats.append(_l2n(emb[None])[0])
+    return np.stack(feats)
+
+
+def classification_eval(
+    encode_visual: Callable[[np.ndarray], np.ndarray],
+    batches: Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    classifier: np.ndarray,
+    *,
+    topk: Sequence[int] = (1, 5),
+    classnames: Optional[Sequence[str]] = None,
+    clip_mean: bool = False,
+) -> Dict:
+    """batches yield (ids, inputs, targets). Returns accuracy + top-k and
+    per-class stats (reference test_zeroshot_3d_core :193-253).
+    clip_mean: inputs are [B, n_clip, ...]; clip embeddings mean-pooled
+    (reference zero_shot.py:615-624)."""
+    acc = Accuracy()
+    per_class_cnt: Dict[int, int] = defaultdict(int)
+    per_class_topk = {k: defaultdict(int) for k in topk}
+    total = {k: 0 for k in topk}
+    n = 0
+    for ids, x, targets in batches:
+        x = np.asarray(x)
+        if clip_mean:
+            B, S = x.shape[:2]
+            feats = np.asarray(
+                encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
+            )
+            feats = _l2n(_l2n(feats).reshape(B, S, -1).mean(axis=1))
+        else:
+            feats = _l2n(np.asarray(encode_visual(x), np.float32))
+        logits = feats @ classifier.T
+        acc.compute(ids, logits, targets)
+        targets = np.asarray(targets)
+        kmax = max(topk)
+        top = np.argsort(-logits, axis=1, kind="stable")[:, :kmax]
+        for k in topk:
+            hit = np.any(top[:, :k] == targets[:, None], axis=1)
+            total[k] += int(hit.sum())
+            for t, h in zip(targets.tolist(), hit.tolist()):
+                per_class_topk[k][t] += int(h)
+        for t in targets.tolist():
+            per_class_cnt[t] += 1
+        n += len(targets)
+
+    out = acc.merge_results()
+    for k in topk:
+        out[f"top{k}"] = total[k] / max(n, 1)
+    if classnames is not None:
+        out["per_class_top1"] = {
+            classnames[c]: per_class_topk[1][c] / max(cnt, 1)
+            for c, cnt in per_class_cnt.items()
+        }
+    return out
+
+
+def map_eval(
+    encode_visual: Callable[[np.ndarray], np.ndarray],
+    batches: Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    classifier: np.ndarray,
+    *,
+    logit_scale: float = 1.0,
+    clip_mean: bool = False,
+) -> Dict:
+    """AudioSet-style multi-label mAP (reference zero_shot.py:572-639)."""
+    m = MAP()
+    for ids, x, targets in batches:
+        x = np.asarray(x)
+        if clip_mean:
+            B, S = x.shape[:2]
+            feats = np.asarray(
+                encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
+            )
+            feats = _l2n(_l2n(feats).reshape(B, S, -1).mean(axis=1))
+        else:
+            feats = _l2n(np.asarray(encode_visual(x), np.float32))
+        logits = logit_scale * feats @ classifier.T
+        m.compute(ids, logits, targets)
+    return m.merge_results()
+
+
+def retrieval_eval(
+    encode_visual: Callable[[np.ndarray], np.ndarray],
+    encode_text: Callable[[np.ndarray], np.ndarray],
+    tokenizer: Callable[[Sequence[str]], np.ndarray],
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+    texts: Sequence[str],
+    text_ids: Sequence[int],
+    *,
+    text_batch: int = 256,
+    clip_mean: bool = False,
+) -> Dict:
+    """Cross-modal retrieval R@K (reference zero_shot.py:641-788): encode the
+    text corpus, stream visual batches, rank both directions."""
+    tfeats = []
+    for i in range(0, len(texts), text_batch):
+        ids = tokenizer(list(texts[i:i + text_batch]))
+        tfeats.append(np.asarray(encode_text(ids), np.float32))
+    tfeats = _l2n(np.concatenate(tfeats))
+    rec = Recall(np.asarray(text_ids), tfeats)
+    for ids, x in batches:
+        x = np.asarray(x)
+        if clip_mean:
+            B, S = x.shape[:2]
+            feats = np.asarray(
+                encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
+            )
+            feats = _l2n(_l2n(feats).reshape(B, S, -1).mean(axis=1))
+        else:
+            feats = _l2n(np.asarray(encode_visual(x), np.float32))
+        rec.compute(ids, feats)
+    return rec.merge_results()
+
+
+def run_eval(
+    eval_metric: str,
+    **kwargs,
+) -> Dict:
+    """Dispatch like the reference test_audiotasks_core (zero_shot.py:791-810)."""
+    if eval_metric in ("acc", "accuracy"):
+        return classification_eval(**kwargs)
+    if eval_metric == "map":
+        return map_eval(**kwargs)
+    if eval_metric in ("recall", "ret"):
+        return retrieval_eval(**kwargs)
+    raise ValueError(eval_metric)

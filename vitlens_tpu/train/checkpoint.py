@@ -1,0 +1,234 @@
+"""Checkpoint save/resume.
+
+Mirrors the reference semantics (audio_main.py:119-185, :404-437, :564-611;
+SURVEY §5.4): per-epoch `epoch_N` checkpoints, an atomically-replaced
+`epoch_latest`, best-checkpoint tracking keyed on summed val accuracy,
+resume = newest epoch checkpoint with model/optimizer/step restored, and
+`resume_ckpt_only` (weights sans optimizer). Orbax handles the array
+serialization; the directory/latest/best policy lives here.
+
+Remote mirroring (reference file_utils.py remote_sync via aws s3/fsspec) is
+exposed as a background-thread hook `start_remote_sync` using fsspec when
+available.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import threading
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _ckpt_path(root: str, tag: str) -> str:
+    return os.path.join(root, tag)
+
+
+def save_checkpoint(
+    root: str,
+    state: Any,
+    epoch: int,
+    *,
+    is_latest: bool = True,
+    best_metric: Optional[float] = None,
+    extra: Optional[Dict] = None,
+) -> str:
+    """Save `state` (any pytree, e.g. TrainState) under epoch_{N}; update
+    epoch_latest atomically via tmp+rename (audio_main.py:590-597)."""
+    os.makedirs(root, exist_ok=True)
+    path = _ckpt_path(root, f"epoch_{epoch}")
+    _save_tree(path, state)
+    meta = {"epoch": epoch, "extra": extra or {}}
+    if best_metric is not None:
+        meta["best_metric"] = best_metric
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    if is_latest:
+        tmp = _ckpt_path(root, "epoch_latest.tmp")
+        latest = _ckpt_path(root, "epoch_latest")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(path, tmp)
+        if os.path.exists(latest):
+            shutil.rmtree(latest)
+        os.replace(tmp, latest)
+    return path
+
+
+def save_best(root: str, state: Any, epoch: int, metric: float) -> Optional[str]:
+    """Keep checkpoint_best if `metric` improves (audio_main.py:599-611)."""
+    best_meta = os.path.join(root, "best.json")
+    prev = -float("inf")
+    if os.path.exists(best_meta):
+        with open(best_meta) as f:
+            prev = json.load(f)["metric"]
+    if metric <= prev:
+        return None
+    path = _ckpt_path(root, "checkpoint_best")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _save_tree(path, state)
+    with open(best_meta, "w") as f:
+        json.dump({"metric": metric, "epoch": epoch}, f)
+    return path
+
+
+def get_latest_checkpoint(root: str) -> Optional[str]:
+    """Newest epoch checkpoint (reference get_latest_checkpoint
+    audio_main.py:63-83): epoch_latest if present, else highest epoch_N."""
+    latest = _ckpt_path(root, "epoch_latest")
+    if os.path.isdir(latest):
+        return latest
+    cands = []
+    for p in glob.glob(os.path.join(root, "epoch_*")):
+        m = re.match(r".*epoch_(\d+)$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    return max(cands)[1] if cands else None
+
+
+def load_checkpoint(path: str, target: Any, *, ckpt_only: bool = False) -> Any:
+    """Restore a pytree saved by save_checkpoint. With ckpt_only=True only
+    the `params`/`model_state` fields of a TrainState are restored
+    (--resume-ckpt-only)."""
+    restored = _load_tree(path, target)
+    if ckpt_only and hasattr(target, "params"):
+        import dataclasses
+
+        return dataclasses.replace(
+            target, params=restored.params, model_state=restored.model_state
+        )
+    return restored
+
+
+def load_meta(path: str) -> Dict:
+    mp = os.path.join(path, "meta.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return json.load(f)
+    return {}
+
+
+# ---------------------------------------------------------------------------
+# serialization backends
+# ---------------------------------------------------------------------------
+
+
+def _save_tree(path: str, tree: Any) -> None:
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        # store as host numpy: restore then needs no sharding metadata and
+        # works across device topologies
+        host_tree = jax.tree.map(lambda x: np.asarray(x), tree)
+        ckptr.save(os.path.abspath(path), host_tree)
+    else:  # pragma: no cover
+        os.makedirs(path, exist_ok=True)
+        leaves, treedef = jax.tree.flatten(tree)
+        np.savez(os.path.join(path, "leaves.npz"),
+                 *[np.asarray(l) for l in leaves])
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _load_tree(path: str, target: Any) -> Any:
+    if _HAVE_ORBAX:
+        # Restore raw (no item) and graft leaves onto `target` by tree path —
+        # avoids orbax's sharding-metadata restore requirements and works
+        # across dataclass/dict structure differences.
+        ckptr = ocp.PyTreeCheckpointer()
+        raw = ckptr.restore(os.path.abspath(path))
+        raw_map = {
+            _path_str(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(raw)[0]
+        }
+
+        def pick(p, leaf):
+            key = _path_str(p)
+            if key not in raw_map:
+                raise KeyError(f"checkpoint missing leaf {key!r}")
+            v = raw_map[key]
+            return jnp_like(leaf, v)
+
+        return jax.tree_util.tree_map_with_path(pick, target)
+    else:  # pragma: no cover
+        data = np.load(os.path.join(path, "leaves.npz"))
+        leaves = [data[k] for k in data.files]
+        return jax.tree.unflatten(jax.tree.structure(target), leaves)
+
+
+def jnp_like(ref_leaf, value):
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(np.asarray(value))
+    if hasattr(ref_leaf, "dtype"):
+        arr = arr.astype(ref_leaf.dtype)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# remote sync (reference file_utils.py:11-60)
+# ---------------------------------------------------------------------------
+
+
+def start_remote_sync(local_dir: str, remote_dir: str,
+                      frequency_s: float = 300.0,
+                      exclude: str = "epoch_latest") -> threading.Event:
+    """Background mirror of the checkpoint dir to a remote fsspec location
+    every `frequency_s` seconds, excluding the fast-churn latest checkpoint.
+    Returns a stop Event."""
+    stop = threading.Event()
+
+    def sync_once():
+        try:
+            import fsspec
+
+            fs, root = fsspec.core.url_to_fs(remote_dir)
+            for dirpath, _dirs, files in os.walk(local_dir):
+                if exclude and exclude in dirpath:
+                    continue
+                rel = os.path.relpath(dirpath, local_dir)
+                for fn in files:
+                    src = os.path.join(dirpath, fn)
+                    dst = os.path.join(root, rel, fn) if rel != "." else os.path.join(root, fn)
+                    fs.makedirs(os.path.dirname(dst), exist_ok=True)
+                    fs.put(src, dst)
+            return True
+        except Exception:
+            return False
+
+    def loop():
+        while not stop.wait(frequency_s):
+            sync_once()
+        sync_once()  # final sync (reference audio_main.py:617-628)
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    return stop
