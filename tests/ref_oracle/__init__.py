@@ -99,6 +99,27 @@ def install():
     timm_models.layers = _stub_module("timm.models.layers", DropPath=DropPath,
                                       trunc_normal_=lambda *a, **k: None)
 
+    # dgl (FPS falls back to pure torch when the call raises)
+    class _NoDGL:
+        @staticmethod
+        def farthest_point_sampler(*a, **k):
+            raise RuntimeError("dgl stub: use torch fallback")
+
+    dgl = _stub_module("dgl")
+    dgl.geometry = _stub_module("dgl.geometry",
+                                farthest_point_sampler=_NoDGL.farthest_point_sampler)
+
+    # torch_redstone: only rst.Lambda is used
+    class _Lambda(nn.Module):
+        def __init__(self, fn):
+            super().__init__()
+            self.fn = fn
+
+        def forward(self, x):
+            return self.fn(x)
+
+    _stub_module("torch_redstone", Lambda=_Lambda)
+
     # namespace package pointing at the reference tree
     pkg = types.ModuleType("open_clip")
     pkg.__path__ = [f"{REF_SRC}/open_clip"]

@@ -64,8 +64,12 @@ def _adapter_apply(
             return tok.point_tokenizer_apply(
                 p, s, x, cfg.point, train, fps_key=fps_key, bn_axis_name=bn_axis_name
             )
+        # pnsa input convention: x[..., :3] is xyz; SA features are the full
+        # vector when in_channel == C (OpenShape feeds xyz+rgb as features,
+        # train.py:193-219), else the trailing channels.
+        feats = x if cfg.point.in_channel == x.shape[-1] else x[..., 3:]
         return tok.pnsa_tokenizer_apply(
-            p, s, x[..., 3:] if x.shape[-1] > 3 else x, x[..., :3], cfg.point,
+            p, s, feats, x[..., :3], cfg.point,
             train, fps_key=fps_key, bn_axis_name=bn_axis_name,
         )
     raise NotImplementedError(m)
