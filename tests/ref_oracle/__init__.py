@@ -92,12 +92,24 @@ def install():
         def forward(self, x):
             return x
 
+    def _trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    def _to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
     timm = _stub_module("timm")
     timm_models = _stub_module("timm.models")
     timm.models = timm_models
     timm_models.hub = _stub_module("timm.models.hub")
-    timm_models.layers = _stub_module("timm.models.layers", DropPath=DropPath,
-                                      trunc_normal_=lambda *a, **k: None)
+    timm_models.layers = _stub_module(
+        "timm.models.layers", DropPath=DropPath,
+        drop_path=lambda x, p=0.0, training=False: x,
+        to_2tuple=_to_2tuple, trunc_normal_=_trunc_normal_)
+    timm_models.registry = _stub_module(
+        "timm.models.registry", register_model=lambda f: f)
 
     # dgl (FPS falls back to pure torch when the call raises)
     class _NoDGL:

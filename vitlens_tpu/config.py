@@ -156,6 +156,18 @@ class EEGAdapterConfig:
 
 
 @dataclass(frozen=True)
+class VideoAdapterConfig:
+    """Video frame path (reference transformer.py:472-490, 679-712):
+    per-frame image patch embed + learned temporal position (ltpos).
+    The fpos (Fourier) option is dead code in the reference — its import
+    target open_clip.perceiver_io does not exist in the repo."""
+
+    n_frames: int = 8
+    use_ltpos: bool = True
+    distill_tokens: bool = False  # vid_distill_tokens loss plumbing
+
+
+@dataclass(frozen=True)
 class TowerConfig:
     """One Lens/vision tower: trunk + optional adapter + optional perceiver.
 
@@ -171,6 +183,7 @@ class TowerConfig:
     point: Optional[PointAdapterConfig] = None
     audio: Optional[AudioAdapterConfig] = None
     eeg: Optional[EEGAdapterConfig] = None
+    video: Optional[VideoAdapterConfig] = None
     use_adapter_pos: bool = True  # not disable_visual_adapter_pos
     use_orig_pos: bool = True  # not disable_orig_pos
     skip_first_n_layers: Optional[int] = None  # skip_trans_first_n_layers
@@ -191,8 +204,10 @@ class TowerConfig:
     @property
     def adapter_num_tokens(self) -> int:
         """Token count produced by the modality adapter (perceiver input)."""
-        if self.modality in ("image", "tactile", "video"):
+        if self.modality in ("image", "tactile"):
             return self.arch.num_patches
+        if self.modality == "video":
+            return self.video.n_frames * self.arch.num_patches
         if self.modality == "pc":
             return self.point.num_group
         if self.modality == "audio":
@@ -314,8 +329,11 @@ def make_tower_config(
     kw: Dict[str, Any] = dict(
         arch=arch, embed_dim=embed_dim, modality=modality, quick_gelu=quick_gelu
     )
-    if modality in ("image", "tactile", "video"):
+    if modality in ("image", "tactile"):
         pass  # plain patch-embed path, no adapter/perceiver
+    elif modality == "video":
+        kw["video"] = VideoAdapterConfig()
+        kw["perceiver"] = _lens_perceiver(arch, depth=2, self_per_cross_attn=1)
     elif modality == "pc":
         pt = PointAdapterConfig()
         kw["point"] = pt

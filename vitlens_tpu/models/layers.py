@@ -168,13 +168,14 @@ def resblock(
     heads: int,
     act: Callable,
     mask: Optional[jnp.ndarray] = None,
+    ln_eps: float = 1e-5,
 ) -> jnp.ndarray:
     """Pre-LN residual attention block (reference transformer.py:253-272)."""
-    a = mha(layer_norm(x, p["ln_1"]), p["attn"], heads, mask)
+    a = mha(layer_norm(x, p["ln_1"], ln_eps), p["attn"], heads, mask)
     if "ls_1" in p:
         a = a * p["ls_1"]["gamma"].astype(x.dtype)
     x = x + a
-    h = linear(layer_norm(x, p["ln_2"]), p["mlp"]["fc"])
+    h = linear(layer_norm(x, p["ln_2"], ln_eps), p["mlp"]["fc"])
     h = linear(act(h), p["mlp"]["proj"])
     if "ls_2" in p:
         h = h * p["ls_2"]["gamma"].astype(x.dtype)
@@ -199,6 +200,7 @@ def transformer(
     mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
     skip_first_n: Optional[int] = None,
+    ln_eps: float = 1e-5,
 ) -> jnp.ndarray:
     """Run the stacked residual blocks with lax.scan.
 
@@ -209,7 +211,7 @@ def transformer(
         blocks = jax.tree.map(lambda t: t[skip_first_n:], blocks)
 
     def body(carry, layer_p):
-        y = resblock(carry, layer_p, heads, act, mask)
+        y = resblock(carry, layer_p, heads, act, mask, ln_eps)
         return y, None
 
     if remat:

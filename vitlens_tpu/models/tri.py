@@ -113,6 +113,50 @@ def encode_visual(
     return feats, {**state, "visual": new_vis_s}
 
 
+def tri_forward_video_distill(
+    params: Params,
+    state: State,
+    cfg: ModelConfig,
+    *,
+    video_frames: jnp.ndarray,  # [B, T, 3, H, W] (image tower input)
+    text: jnp.ndarray,
+    visual_x: jnp.ndarray,
+    train: bool = False,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], State]:
+    """Video distill-tokens forward (reference model.py:545-585
+    vid_distill_tokens branch): frame-mean image features AND tokens +
+    visual features/tokens, for TriClipDistillTokenLoss."""
+    from vitlens_tpu.models.vit import vision_tower_apply
+
+    img_cfg = image_tower_config(cfg)
+    B, T = video_frames.shape[:2]
+    frames = video_frames.reshape((B * T,) + video_frames.shape[2:])
+    (img_feats, img_tokens), _ = vision_tower_apply(
+        params["image"], state["image"], frames, img_cfg,
+        compute_dtype=compute_dtype, remat=remat, output_tokens=True,
+    )
+    img_feats = _l2_normalize(img_feats.reshape(B, T, -1).mean(axis=1))
+    img_tokens = img_tokens.reshape((B, T) + img_tokens.shape[1:]).mean(axis=1)
+
+    (vis_feats, vis_tokens), new_vis_s = vision_tower_apply(
+        params["visual"], state["visual"], visual_x, cfg.tower,
+        train=train, compute_dtype=compute_dtype, remat=remat,
+        output_tokens=True,
+    )
+    out = {
+        "image_features": img_feats,
+        "image_tokens": img_tokens,
+        "text_features": encode_text(params, text, cfg, normalize=True,
+                                     compute_dtype=compute_dtype, remat=remat),
+        "visual_features": _l2_normalize(vis_feats),
+        "visual_tokens": vis_tokens,
+        "logit_scale": jnp.exp(params["logit_scale"]).astype(jnp.float32),
+    }
+    return out, {**state, "visual": new_vis_s}
+
+
 def tri_forward(
     params: Params,
     state: State,

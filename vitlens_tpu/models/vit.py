@@ -31,6 +31,14 @@ def _adapter_init(key, cfg: TowerConfig) -> Tuple[Params, State]:
     m = cfg.modality
     if m in ("image", "tactile"):
         return tok.image_adapter_init(key, cfg)
+    if m == "video":
+        k1, k2 = jax.random.split(key)
+        p, s = tok.image_adapter_init(k1, cfg)
+        if cfg.video.use_ltpos:
+            # learned temporal position nn.Embedding(n_frames, width)
+            p["ltpos"] = 0.02 * jax.random.normal(
+                k2, (cfg.video.n_frames, cfg.arch.width))
+        return p, s
     if m == "depth":
         return tok.depth_adapter_init(key, cfg)
     if m == "audio":
@@ -121,12 +129,30 @@ def vision_tower_apply(
     With output_tokens=True returns ((pooled, tokens), new_state) like the
     reference output_tokens path (transformer.py:784-787)."""
     x = x.astype(compute_dtype)
-    (tokens, pos), new_adapter_s = _adapter_apply(
-        p["adapter"], s["adapter"], x, cfg, train,
-        fps_key=fps_key, bn_axis_name=bn_axis_name,
-    )
-    if pos is not None and cfg.use_adapter_pos:
-        tokens = tokens + pos.astype(tokens.dtype)
+    if cfg.modality == "video":
+        # reference vid_adapter_forward (transformer.py:679-712), ltpos path:
+        # per-frame patch embed + learned temporal pos (+ spatial pos pre-
+        # perceiver when the Lens is enabled), frames flattened into tokens.
+        B, T = x.shape[:2]
+        frames = x.reshape((B * T,) + x.shape[2:])
+        (ftokens, _), new_adapter_s = tok.image_adapter_apply(
+            p["adapter"], s["adapter"], frames, train)
+        if cfg.video.use_ltpos and "ltpos" in p["adapter"]:
+            lt = p["adapter"]["ltpos"].astype(ftokens.dtype)  # [T, width]
+            L_f = ftokens.shape[1]
+            ftokens = (ftokens.reshape(B, T, L_f, -1)
+                       + lt[None, :, None, :]).reshape(B * T, L_f, -1)
+        if cfg.perceiver is not None and not cfg.perceiver.as_identity:
+            ftokens = ftokens + p["positional_embedding"][1:].astype(
+                ftokens.dtype)
+        tokens = ftokens.reshape(B, T * ftokens.shape[1], -1)
+    else:
+        (tokens, pos), new_adapter_s = _adapter_apply(
+            p["adapter"], s["adapter"], x, cfg, train,
+            fps_key=fps_key, bn_axis_name=bn_axis_name,
+        )
+        if pos is not None and cfg.use_adapter_pos:
+            tokens = tokens + pos.astype(tokens.dtype)
 
     if cfg.perceiver is not None and not (
         cfg.perceiver.as_identity or cfg.perceiver.as_transformer

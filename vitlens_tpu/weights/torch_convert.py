@@ -161,9 +161,13 @@ def convert_perceiver(sd: Mapping[str, Any], cfg: PerceiverConfig) -> Params:
 
 def _convert_adapter(sd: Mapping[str, Any], cfg: TowerConfig) -> Tuple[Params, State]:
     m = cfg.modality
-    if m in ("image", "tactile"):
+    if m in ("image", "tactile", "video"):
         w = _np(sd["conv1.weight"])  # [W, 3, p, p]
-        return {"conv1": {"w": jnp.asarray(w.reshape(w.shape[0], -1).T, jnp.float32)}}, {}
+        p: Params = {"conv1": {"w": jnp.asarray(w.reshape(w.shape[0], -1).T,
+                                                jnp.float32)}}
+        if "ltpos.weight" in sd:  # video learned temporal pos
+            p["ltpos"] = _j(sd["ltpos.weight"])
+        return p, {}
     if m == "depth":
         a = sub(sd, "visual_adapter.")
         w = _np(a["conv1.weight"])  # [W, 1, p, p]
