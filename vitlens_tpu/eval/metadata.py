@@ -142,3 +142,32 @@ def load_imagenet_cls_mapping() -> Dict:
     d = metadata_dir("eeg")
     with open(os.path.join(d, "imagenet_cls_mapping.json")) as f:
         return json.load(f)
+
+
+def load_openai_imagenet_metadata():
+    """The 80 OpenAI ImageNet prompt templates + 1000 classnames
+    (reference zero_shot_metadata.py, 266 LoC of public CLIP data). Loaded
+    from $VITLENS_IMAGENET_METADATA (a python file or json with
+    OPENAI_IMAGENET_TEMPLATES / IMAGENET_CLASSNAMES) or from the reference
+    checkout when present."""
+    env = os.environ.get("VITLENS_IMAGENET_METADATA")
+    if env and env.endswith(".json"):
+        with open(env) as f:
+            d = json.load(f)
+        return d["templates"], d["classnames"]
+    cand = env or os.path.join(_REF_ROOT, "zero_shot_metadata.py")
+    if os.path.exists(cand):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_zs_metadata", cand)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        templates = getattr(mod, "OPENAI_IMAGENET_TEMPLATES", None) or \
+            getattr(mod, "openai_imagenet_template", None)
+        classnames = getattr(mod, "IMAGENET_CLASSNAMES", None) or \
+            getattr(mod, "imagenet_classnames", None)
+        if templates is not None and classnames is not None:
+            return list(templates), list(classnames)
+    raise FileNotFoundError(
+        "ImageNet zero-shot metadata not found; set VITLENS_IMAGENET_METADATA"
+    )
