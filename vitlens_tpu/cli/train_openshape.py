@@ -1,0 +1,220 @@
+"""OpenShape/vitlensG training driver.
+
+Reference: /root/reference/VitLens-OpenShape/src/main.py (+ train.py Trainer).
+Trains the bigG PNSA Lens against precomputed CLIP text/image embeddings:
+
+  python -m vitlens_tpu.cli.train_openshape \
+      --train-files '/data/openshape/*.npy' --epochs 10 --batch-size 16 \
+      --use-mask --negative-sample-num 1 \
+      --eval-feats /data/mn40_text_feats.npy --eval-labels /data/mn40_labels.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vitlens_tpu.data.loader import build_loader
+from vitlens_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from vitlens_tpu.train import checkpoint as C
+from vitlens_tpu.train import openshape as OS
+from vitlens_tpu.train.freeze import apply_mask
+from vitlens_tpu.train.schedules import get_schedule
+from vitlens_tpu.utils.logging import MetricsWriter, setup_logging
+
+
+def build_args(argv=None):
+    p = argparse.ArgumentParser("vitlens-tpu openshape trainer")
+    p.add_argument("--train-files", type=str, required=False, default=None,
+                   help="glob of per-object npy triplet blobs")
+    p.add_argument("--out-channel", type=int, default=1280)
+    p.add_argument("--skip-first-n-layers", type=int, default=16)
+    p.add_argument("--npoints", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--trunk-lr-scale", type=float, default=0.1)
+    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--text-weight", type=float, default=1.0)
+    p.add_argument("--image-weight", type=float, default=1.0)
+    p.add_argument("--use-mask", action="store_true")
+    p.add_argument("--mask-threshold", type=float, default=0.1)
+    p.add_argument("--negative-sample-num", type=int, default=1)
+    p.add_argument("--use-text-proj", action="store_true")
+    p.add_argument("--use-image-proj", action="store_true")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--logs", default="./logs")
+    p.add_argument("--name", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-feats", default=None,
+                   help="npy of precomputed per-class text embeddings")
+    p.add_argument("--eval-labels", default=None)
+    p.add_argument("--eval-files", default=None)
+    p.add_argument("--log-every-n-steps", type=int, default=50)
+    # test-scale overrides
+    p.add_argument("--tiny", action="store_true", help="tiny tower (tests)")
+    return p.parse_args(argv)
+
+
+def tower_config(args):
+    if not args.tiny:
+        return OS.vitlensG_tower_config(args.out_channel,
+                                        args.skip_first_n_layers)
+    from dataclasses import replace
+
+    from vitlens_tpu.config import PerceiverConfig, PointAdapterConfig, VisionArch
+
+    base = OS.vitlensG_tower_config(args.out_channel, 1)
+    return replace(
+        base,
+        arch=VisionArch(image_size=28, patch_size=14, width=32, layers=2,
+                        head_width=16),
+        embed_dim=16, skip_first_n_layers=None,
+        point=PointAdapterConfig(tokenizer="pnsa", num_group=8, group_size=4,
+                                 encoder_dims=16, trans_dim=16, in_channel=6,
+                                 npoints=args.npoints),
+        perceiver=PerceiverConfig(depth=1, num_latents=4, latent_dim=32,
+                                  input_dim=16, cross_heads=1,
+                                  cross_dim_head=8, latent_heads=2,
+                                  latent_dim_head=8),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_args(argv)
+    name = args.name or f"openshape_{time.strftime('%Y%m%d_%H%M%S')}"
+    log_dir = os.path.join(args.logs, name)
+    setup_logging(os.path.join(log_dir, "out.log"))
+
+    tower = tower_config(args)
+    dt = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    params, state = OS.clip_bind_init(jax.random.PRNGKey(args.seed), tower,
+                                      args.out_channel)
+    lr_scale = OS.trunk_lr_scale(params, args.trunk_lr_scale)
+
+    files = sorted(glob.glob(args.train_files)) if args.train_files else []
+    if not files:
+        logging.info("no training files; nothing to do")
+        return 0
+    ds = OS.OpenShapeTripletDataset(files, npoints=args.npoints,
+                                    seed=args.seed)
+    devices = jax.devices()
+    mesh = make_mesh(devices=devices) if len(devices) > 1 else None
+    n_shards = len(devices) if mesh else 1
+    info = build_loader(ds, batch_size=args.batch_size * n_shards,
+                        shuffle=True, seed=args.seed)
+
+    total_steps = info.num_batches * args.epochs
+    sched = get_schedule("cosine", args.lr, args.warmup, total_steps)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
+    opt_state = tx.init(params)
+
+    base_mask = None
+    if args.use_mask and args.negative_sample_num > 1:
+        base_mask = jnp.asarray(OS.knn_negative_mask(
+            args.batch_size * n_shards // args.negative_sample_num,
+            args.negative_sample_num))
+
+    axis = "data" if mesh else None
+
+    def loss_fn(p, s, batch, fps_key):
+        mask = None
+        if args.use_mask:
+            mask = OS.sim_margin_mask(batch["img_feat"], batch["text_feat"],
+                                      args.mask_threshold,
+                                      base_mask=base_mask)
+        return OS.openshape_loss(
+            p, s, batch, tower,
+            text_weight=args.text_weight, image_weight=args.image_weight,
+            use_text_proj=args.use_text_proj,
+            use_image_proj=args.use_image_proj,
+            mask=mask, axis_name=axis, compute_dtype=dt, fps_key=fps_key,
+        )
+
+    def step(p, s, opt, batch, fps_key):
+        (loss, (metrics, new_s)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, s, batch, fps_key)
+        if axis:
+            grads = jax.lax.pmean(grads, axis)
+        updates, new_opt = tx.update(grads, opt, p)
+        updates = jax.tree.map(lambda u, sc: u * sc.astype(u.dtype),
+                               updates, lr_scale)
+        new_p = optax.apply_updates(p, updates)
+        metrics = dict(metrics, loss=loss)
+        return new_p, new_s, new_opt, metrics
+
+    if mesh:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        step = jax.jit(shard_map(
+            step, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        params, state, opt_state = (replicate(mesh, x)
+                                    for x in (params, state, opt_state))
+    else:
+        step = jax.jit(step)
+
+    writer = MetricsWriter(log_dir)
+    rng = jax.random.PRNGKey(args.seed)
+    gstep = 0
+    for epoch in range(args.epochs):
+        info.set_epoch(epoch)
+        for raw in info.dataloader:
+            batch = {k: np.asarray(v) for k, v in raw.items()
+                     if k in ("xyz_features", "text_feat", "img_feat")}
+            if mesh:
+                batch = shard_batch(mesh, batch)
+            rng, sub = jax.random.split(rng)
+            params, state, opt_state, metrics = step(params, state, opt_state,
+                                                     batch, sub)
+            gstep += 1
+            if gstep % args.log_every_n_steps == 0:
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                writer.log(m, gstep)
+                logging.info(f"epoch {epoch} step {gstep}: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in m.items()))
+        host = jax.tree.map(np.asarray, {"params": params, "state": state})
+        C.save_checkpoint(os.path.join(log_dir, "checkpoints"), host,
+                          epoch + 1)
+        if args.eval_feats and args.eval_files and args.eval_labels:
+            _run_eval(args, params, state, tower, dt, writer, gstep)
+    return 0
+
+
+def _run_eval(args, params, state, tower, dt, writer, gstep):
+    cls_feats = np.load(args.eval_feats)
+    labels = np.load(args.eval_labels)
+    files = sorted(glob.glob(args.eval_files))
+    ds = OS.OpenShapeTripletDataset(files, npoints=args.npoints,
+                                    augment=False)
+    preds = []
+    for i in range(len(ds)):
+        item = ds[i]
+        f, _ = OS.clip_bind_apply(
+            params, state, jnp.asarray(item["xyz_features"][None]), tower,
+            compute_dtype=dt)
+        preds.append(np.asarray(f[0], np.float32))
+    out = OS.precomputed_text_eval(np.stack(preds), labels, cls_feats)
+    writer.log(out, gstep, "val")
+    logging.info("openshape eval: " + ", ".join(
+        f"{k}={v:.4f}" for k, v in out.items()))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

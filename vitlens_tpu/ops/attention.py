@@ -59,9 +59,13 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_flash is None:
+        # Measured on v5e: for ViT-Lens's short sequences (<=600 tokens) the
+        # XLA fused path beats the Pallas kernel (which pads head_dim 64->128
+        # lanes); the kernel wins once the [N, N] score matrix stops fitting
+        # in the fusion (N >= ~1024).
         use_flash = (
             _flash_available()
-            and q.shape[-2] >= 128
+            and q.shape[-2] >= 1024
             and q.shape[-1] <= 128
             and q.shape[-3] * q.shape[-4] >= 4  # enough grid cells to matter
         )
