@@ -297,7 +297,11 @@ class TarShardDataset:
 
     def __init__(self, urls: str, shard_id: int = 0, n_shards: int = 1,
                  shuffle: bool = True, seed: int = 0,
-                 decoders: Optional[Dict[str, Callable]] = None):
+                 decoders: Optional[Dict[str, Callable]] = None,
+                 resample_weights: Optional[Sequence[float]] = None,
+                 n_resampled: Optional[int] = None):
+        """resample_weights + n_resampled: weighted with-replacement shard
+        resampling (the reference ResampledShards2, data.py:407-462)."""
         self.shards = brace_expand(urls)
         self.shard_id = shard_id
         self.n_shards = n_shards
@@ -305,14 +309,26 @@ class TarShardDataset:
         self.seed = seed
         self.epoch = 0
         self.decoders = decoders or {}
+        self.resample_weights = (
+            np.asarray(resample_weights, np.float64) / np.sum(resample_weights)
+            if resample_weights is not None else None
+        )
+        self.n_resampled = n_resampled
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def _my_shards(self) -> List[str]:
-        shards = list(self.shards)
-        if self.shuffle:
-            _epoch_rng(self.seed, self.epoch).shuffle(shards)
+        rng = _epoch_rng(self.seed, self.epoch)
+        if self.resample_weights is not None:
+            n = self.n_resampled or len(self.shards)
+            idx = rng.choice(len(self.shards), size=n, replace=True,
+                             p=self.resample_weights)
+            shards = [self.shards[i] for i in idx]
+        else:
+            shards = list(self.shards)
+            if self.shuffle:
+                rng.shuffle(shards)
         return shards[self.shard_id::self.n_shards]
 
     def __iter__(self):

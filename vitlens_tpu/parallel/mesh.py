@@ -23,6 +23,23 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed() -> int:
+    """Multi-host bootstrap (the torchrun/SLURM env discovery of reference
+    distributed.py:24-121). jax.distributed.initialize reads
+    COORDINATOR_ADDRESS/num_processes/process_id from standard env vars
+    (incl. SLURM) on TPU pods; single-host is a no-op. Returns process
+    index."""
+    import os
+
+    if (os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in ("", "1")):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+    return jax.process_index()
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -127,7 +127,9 @@ def clamp_logit_scale(params: Params) -> Params:
 @dataclass(frozen=True)
 class StepConfig:
     n_tower: int = 3                  # 3 = tri loss, 2 = dual (align_to)
-    align_to: str = "image"           # dual mode anchor: image | text
+    align_to: str = "image"           # dual anchor: image | text; or "clip"
+    # align_to="clip" with n_tower=2 trains the classic two-tower CLIP
+    # objective (image <-> text; reference train_one_epoch, train.py:563-763)
     contra_loss_type: str = "general"  # general | label_mask | sim_mask
     local_loss: bool = True
     sim_thres: float = 0.9
@@ -147,6 +149,17 @@ def _forward_features(
     }
     new_state = model_state
     dt = sc.compute_dtype
+    if sc.n_tower == 2 and sc.align_to == "clip":
+        # classic CLIP: image <-> text, no Lens tower involved
+        out["anchor_features"] = tri.encode_image(
+            params, model_state, batch["image"], model_cfg,
+            normalize=True, compute_dtype=dt, remat=sc.remat,
+        )
+        out["visual_features"] = tri.encode_text(
+            params, batch["text"], model_cfg,
+            normalize=True, compute_dtype=dt, remat=sc.remat,
+        )
+        return out, new_state
     if sc.n_tower == 3:
         out["image_features"] = tri.encode_image(
             params, model_state, batch["image"], model_cfg,
