@@ -74,6 +74,7 @@ def make_ref_args(tower: TowerConfig):
         eeg_window_size=(tower.eeg.window_size if tower.eeg else 1),
         eeg_stride=(tower.eeg.stride if tower.eeg else 1),
         skip_trans_first_n_layers=tower.skip_first_n_layers,
+        unlock_from_head=False,
         n_frames=(tower.video.n_frames if tower.video else 8),
         vid_use_fpos=False,
         vid_use_ltpos=(tower.video.use_ltpos if tower.video else False),

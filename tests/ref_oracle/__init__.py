@@ -41,7 +41,10 @@ class _EasyDict(dict):
 
 
 def _stub_module(name, **attrs):
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -110,6 +113,11 @@ def install():
         to_2tuple=_to_2tuple, trunc_normal_=_trunc_normal_)
     timm_models.registry = _stub_module(
         "timm.models.registry", register_model=lambda f: f)
+    timm_models.layers.Mlp = type("Mlp", (nn.Module,), {})
+    timm.layers = _stub_module(
+        "timm.layers",
+        RotAttentionPool2d=type("RotAttentionPool2d", (nn.Module,), {}),
+        AttentionPool2d=type("AttentionPool2d", (nn.Module,), {}))
 
     # dgl (FPS falls back to pure torch when the call raises)
     class _NoDGL:
