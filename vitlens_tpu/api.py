@@ -13,15 +13,14 @@ processed host-side by vitlens_tpu.data.processors.
 
 from __future__ import annotations
 
-import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from vitlens_tpu.config import ModalityType, make_model_config, image_tower_config
+from vitlens_tpu.config import make_model_config, image_tower_config
 from vitlens_tpu.data.processors import default_processors
 from vitlens_tpu.models import tri
 from vitlens_tpu.models.text import text_tower_apply

@@ -27,15 +27,13 @@ import jax.numpy as jnp
 
 from vitlens_tpu.cli.args import TrainArgs, parse_args
 from vitlens_tpu.config import make_model_config
-from vitlens_tpu.data.loader import (
-    DataInfo, DevicePrefetcher, SyntheticDataset, build_loader,
-)
+from vitlens_tpu.data.loader import DataInfo, SyntheticDataset, build_loader
 from vitlens_tpu.models import tri
 from vitlens_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from vitlens_tpu.train import checkpoint as C
-from vitlens_tpu.train.freeze import ones_like_mask, tri_model_mask
+from vitlens_tpu.train.freeze import tri_model_mask
 from vitlens_tpu.train.step import (
-    OptimizerConfig, StepConfig, TrainState, init_train_state, make_optimizer,
+    OptimizerConfig, StepConfig, init_train_state, make_optimizer,
     make_train_step,
 )
 from vitlens_tpu.utils.logging import (

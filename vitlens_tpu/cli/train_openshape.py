@@ -17,8 +17,6 @@ import logging
 import os
 import sys
 import time
-from functools import partial
-
 import numpy as np
 
 import jax
@@ -29,7 +27,6 @@ from vitlens_tpu.data.loader import build_loader
 from vitlens_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from vitlens_tpu.train import checkpoint as C
 from vitlens_tpu.train import openshape as OS
-from vitlens_tpu.train.freeze import apply_mask
 from vitlens_tpu.train.schedules import get_schedule
 from vitlens_tpu.utils.logging import MetricsWriter, setup_logging
 

@@ -17,7 +17,6 @@ lowpass_filter_width=6).
 
 from __future__ import annotations
 
-import struct
 import wave
 from typing import Tuple
 

@@ -12,7 +12,7 @@ Mirrors the reference semantics with explicit RNG:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

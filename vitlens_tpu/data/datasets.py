@@ -18,7 +18,7 @@ from __future__ import annotations
 import csv
 import json
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, List, Optional
 
 import numpy as np
 

@@ -14,16 +14,12 @@ containers collapse to plain dicts here).
 
 from __future__ import annotations
 
-import bisect
 import concurrent.futures as cf
 import glob
 import hashlib
-import io
-import itertools
 import os
 import re
 import tarfile
-import threading
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import re as _re
 from fractions import Fraction
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import numpy as np
 from PIL import Image

@@ -14,7 +14,7 @@ from __future__ import annotations
 import csv
 import json
 import os
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 _REF_ROOT = "/root/reference/vitlens/src/open_clip"
 

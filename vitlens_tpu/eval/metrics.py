@@ -10,7 +10,7 @@ computed from the precision-recall definition it implements.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
