@@ -43,17 +43,20 @@ Params = Dict[str, Any]
 
 def vitlensG_tower_config(out_channel: int = 1280,
                           skip_first_n_layers: int = 16) -> TowerConfig:
-    """bigG Lens with PNSA tokenizer (reference configs: pc_tokenizer=pnsa,
-    trans_dim 256, skip first 16 of 48 layers)."""
+    """bigG Lens with PNSA tokenizer. Values from the published vitlensG
+    recipe (TRAIN_INFERENCE.md "Train vitlensG on OpenShape-Triplets"):
+    pc_in_channel 6, radius 0.2, npoints 10000, num_group 512, group_size 64,
+    trans_dim 256; perceiver depth 4, latents 256, latent_dim 1664,
+    cross/latent_dim_head 104, latent_heads 16; skip first 16 of 48 layers."""
     arch_entry = get_arch("ViT-bigG-14")
     arch = arch_entry["vision"]
     pt = PointAdapterConfig(tokenizer="pnsa", trans_dim=256, encoder_dims=256,
-                            group_size=32, num_group=512, in_channel=6,
-                            npoints=10000)
+                            group_size=64, num_group=512, in_channel=6,
+                            npoints=10000, radius=0.2)
     perc = PerceiverConfig(
-        depth=2, num_latents=arch.num_patches, latent_dim=arch.width,
-        input_dim=256, cross_heads=1, cross_dim_head=64,
-        latent_heads=max(arch.width // 64, 1), latent_dim_head=64,
+        depth=4, num_latents=256, latent_dim=arch.width,
+        input_dim=256, cross_heads=1, cross_dim_head=104,
+        latent_heads=16, latent_dim_head=104,
         self_per_cross_attn=1,
     )
     return TowerConfig(
