@@ -198,6 +198,15 @@ def _primary_metric(results: Dict[str, Dict]) -> float:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    try:  # persistent compilation cache (first TPU compiles are expensive)
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/vitlens_tpu_xla")))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     name = args.name or f"{args.modality}_{args.model}_{time.strftime('%Y%m%d_%H%M%S')}"
     log_dir = os.path.join(args.logs, name)
     setup_logging(os.path.join(log_dir, "out.log"))

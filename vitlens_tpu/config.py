@@ -361,14 +361,23 @@ def make_model_config(
     modality: str = "image",
     *,
     quick_gelu: bool = False,
+    force_image_size: Optional[int] = None,
     **tower_overrides: Any,
 ) -> ModelConfig:
+    """force_image_size: run the trunk at a different resolution (reference
+    --force-image-size; pos-emb converter resizes grid->grid bicubic)."""
     arch_entry = get_arch(model)
-    tower = make_tower_config(model, modality, quick_gelu=quick_gelu, **tower_overrides)
+    vision = arch_entry["vision"]
+    if force_image_size is not None:
+        vision = replace(vision, image_size=force_image_size)
+    tower = make_tower_config(model, modality, quick_gelu=quick_gelu,
+                              **dict(tower_overrides))
+    if force_image_size is not None:
+        tower = replace(tower, arch=vision)
     return ModelConfig(
         name=model,
         embed_dim=arch_entry["embed_dim"],
-        vision=arch_entry["vision"],
+        vision=vision,
         text=arch_entry["text"],
         tower=tower,
         quick_gelu=quick_gelu,
