@@ -70,12 +70,22 @@ class OptimizerConfig:
     schedule: str = "cosine"
 
 
+def leaf_trainable(trainable_mask: Params) -> Params:
+    """Per-leaf bool: True iff ANY element of the leaf trains. Leaves that
+    are entirely frozen get NO optimizer state (optax.masked) — for the
+    published recipes (frozen image+text towers) this saves ~3.4 GB of Adam
+    moments on ViT-L."""
+    return jax.tree.map(lambda m: bool(jnp.any(m > 0)), trainable_mask)
+
+
 def make_optimizer(
     params: Params,
     cfg: OptimizerConfig,
     trainable_mask: Optional[Params] = None,
 ) -> Tuple[optax.GradientTransformation, Params]:
     sched = get_schedule(cfg.schedule, cfg.lr, cfg.warmup, cfg.total_steps)
+    if trainable_mask is None:
+        trainable_mask = ones_like_mask(params)
     chain = []
     if cfg.grad_clip_norm:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
@@ -89,9 +99,7 @@ def make_optimizer(
             mask=wd_mask(params),
         )
     )
-    tx = optax.chain(*chain)
-    if trainable_mask is None:
-        trainable_mask = ones_like_mask(params)
+    tx = optax.masked(optax.chain(*chain), leaf_trainable(trainable_mask))
     return tx, trainable_mask
 
 
@@ -213,10 +221,26 @@ def make_train_step(
     embeddings over the axis. Without a mesh: single-device step.
     """
 
+    # Fully-frozen towers get stop_gradient'd params so XLA prunes their
+    # entire backward pass (forward-only frozen CLIP towers — the published
+    # recipes freeze image+text). Partial unfreezing keeps the backward.
+    frozen_towers = [
+        k for k in ("image", "text", "visual")
+        if k in trainable_mask and not any(
+            bool(jnp.any(m > 0)) for m in jax.tree.leaves(trainable_mask[k]))
+    ]
+
+    def _stopped(p):
+        out = dict(p)
+        for k in frozen_towers:
+            out[k] = jax.lax.stop_gradient(p[k])
+        return out
+
     def micro_grads(params, model_state, batch, fps_key, ax):
         def loss_of(p):
             out, new_state = _forward_features(
-                p, model_state, batch, model_cfg, sc, ax, True, fps_key
+                _stopped(p), model_state, batch, model_cfg, sc, ax, True,
+                fps_key
             )
             loss = _loss_from_features(out, batch, sc, ax)
             return loss, new_state
