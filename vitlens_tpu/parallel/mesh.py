@@ -78,3 +78,24 @@ def local_batch_size(mesh: Mesh, global_batch: int) -> int:
     n = mesh.shape[DATA_AXIS]
     assert global_batch % n == 0, (global_batch, n)
     return global_batch // n
+
+
+def broadcast_object(obj, root: int = 0):
+    """Broadcast a picklable object from the root process (reference
+    distributed.py broadcast_object; used e.g. to agree on the resume
+    checkpoint path). Single-process: identity."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils  # pragma: no cover
+
+    return multihost_utils.broadcast_one_to_all(obj)  # pragma: no cover
+
+
+def all_gather_object(obj):
+    """Gather per-process objects to every process (reference
+    distributed.py all_gather_object). Single-process: [obj]."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils  # pragma: no cover
+
+    return list(multihost_utils.process_allgather(obj))  # pragma: no cover
