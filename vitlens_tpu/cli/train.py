@@ -83,6 +83,13 @@ def _synthetic_spec(args: TrainArgs, cfg=None) -> Dict[str, tuple]:
 def _build_real_dataset(args: TrainArgs, spec: str, train: bool):
     from vitlens_tpu.data import datasets as D
 
+    if args.dataset_type == "csv":
+        # classic image-text CSV training (reference data.py:150-170)
+        from vitlens_tpu.data.loader import CsvDataset
+        from vitlens_tpu.data.processors import ImageProcessor, TextProcessor
+
+        return CsvDataset(spec, image_processor=ImageProcessor(),
+                          text_processor=TextProcessor())
     m = args.modality
     if m == "audio":
         return D.create_audio_datasets(spec, train=train)[0]
