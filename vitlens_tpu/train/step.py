@@ -276,7 +276,7 @@ def make_train_step(
 
             def loss_of(p):
                 out_i, _ = _forward_features(
-                    p, model_state, bi, model_cfg, sc, ax, True,
+                    _stopped(p), model_state, bi, model_cfg, sc, ax, True,
                     None if fps_key is None else jax.random.fold_in(fps_key, i))
                 merged = {"logit_scale": out_i["logit_scale"]}
                 for k in feature_keys:
@@ -288,12 +288,12 @@ def make_train_step(
             li, gi = jax.value_and_grad(loss_of)(params)
             loss_total = loss_total + li
             grads_total = jax.tree.map(jnp.add, grads_total, gi)
-        scale = 1.0 / A
-        return (
-            loss_total * scale,
-            jax.tree.map(lambda g: g * scale, grads_total),
-            st,
-        )
+        # NO 1/accum scaling: each micro pass differentiates only its own
+        # micro-batch inside the full-batch loss, so the SUM of pass grads is
+        # exactly the full-batch gradient (reference train.py:176-210 calls
+        # backward per pass and steps once, unscaled). Loss is averaged for
+        # logging only.
+        return loss_total / A, grads_total, st
 
     def step_fn(state: TrainState, batch, fps_key=None):
         ax = axis_name if mesh is not None else None
