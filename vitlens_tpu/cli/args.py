@@ -21,6 +21,7 @@ class TrainArgs:
     resume: Optional[str] = None      # 'latest' or path
     resume_ckpt_only: bool = False
     force_quick_gelu: bool = False
+    force_image_size: Optional[int] = None
 
     # loss / towers (params.py --n_tower/--use_dual_loss/--contra_loss_type)
     n_tower: int = 3

@@ -225,6 +225,7 @@ def main(argv=None) -> int:
 
     cfg = make_model_config(
         args.model, args.modality, quick_gelu=args.force_quick_gelu,
+        force_image_size=args.force_image_size,
         skip_first_n_layers=args.skip_trans_first_n_layers,
     )
     params, model_state = tri.tri_model_init(jax.random.PRNGKey(args.seed), cfg)

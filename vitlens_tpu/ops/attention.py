@@ -59,13 +59,13 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_flash is None:
-        # Measured on v5e: for ViT-Lens's short sequences (<=600 tokens) the
-        # XLA fused path beats the Pallas kernel (which pads head_dim 64->128
-        # lanes); the kernel wins once the [N, N] score matrix stops fitting
-        # in the fusion (N >= ~1024).
+        # Measured on v5e: XLA's fused attention beats the Pallas kernel for
+        # ViT-Lens's short sequences (crossover is at KV length ~4k: at
+        # NK=4096 the kernel is ~12% faster, below that XLA wins — the
+        # kernel pays head_dim 64 -> 128-lane padding).
         use_flash = (
             _flash_available()
-            and q.shape[-2] >= 1024
+            and k.shape[-2] >= 4096
             and q.shape[-1] <= 128
             and q.shape[-3] * q.shape[-4] >= 4  # enough grid cells to matter
         )

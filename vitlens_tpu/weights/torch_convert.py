@@ -342,10 +342,17 @@ def convert_tri_state_dict(
 def load_torch_checkpoint(path: str):
     """Load a .pt checkpoint on CPU and return its (possibly nested)
     state dict (reference: training/file_utils.py pt_load +
-    factory.py:107-127 load_state_dict)."""
+    factory.py:107-127 load_state_dict). Also handles OpenAI's TorchScript
+    archives (reference openai.py: torch.jit.load -> state_dict)."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:
+        # OpenAI CLIP ships TorchScript archives
+        ckpt = torch.jit.load(path, map_location="cpu").state_dict()
+    if hasattr(ckpt, "state_dict") and not isinstance(ckpt, dict):
+        ckpt = ckpt.state_dict()
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         return ckpt["state_dict"]
     if isinstance(ckpt, dict) and "model" in ckpt and isinstance(ckpt["model"], dict):
