@@ -166,7 +166,8 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
             info = build_loader(ds, batch_size=args.batch_size, shuffle=False,
                                 num_workers=args.workers, drop_last=False)
             for b in info.dataloader:
-                tgt = b.get("targets", b.get("label"))
+                tgt = (b.get("label") if metric == "acc" else
+                       b.get("targets", b.get("label")))
                 yield np.asarray(b["id"]), np.asarray(b[vk]), np.asarray(tgt)
 
         if metric == "recall":

@@ -105,7 +105,11 @@ class AudioClsDataset:
 
     def _labels_multihot(self, ann) -> np.ndarray:
         mh = np.zeros(len(self.classnames), np.float32)
-        for li in ann.get("labels", ann.get("label_indices", [])):
+        raw = ann.get("labels", ann.get("label_indices",
+                                        ann.get("class_labels", [])))
+        if isinstance(raw, (int, np.integer)):
+            raw = [raw]
+        for li in raw:
             mh[int(li)] = 1.0
         return mh
 
@@ -138,7 +142,8 @@ class AudioClsDataset:
             return {"id": idx, "audio": fb, "targets": targets,
                     "caption_str": caption}
         x = self.proc([os.path.join(self.data_root, ann["audio_path"])])[0]
-        return {"id": idx, "audio": x, "targets": targets}
+        return {"id": idx, "audio": x, "targets": targets,
+                "label": int(np.argmax(targets))}
 
 
 class AudioRetrievalDataset:
@@ -153,6 +158,10 @@ class AudioRetrievalDataset:
         self.rows = []
         with open(tsv_path) as f:
             for line in csv.reader(f, delimiter="\t"):
+                if not line:
+                    continue
+                if not line[0].strip().isdigit():  # header row
+                    continue
                 self.rows.append(line)
         with open(texts_path) as f:
             texts = json.load(f)
@@ -520,7 +529,13 @@ def create_audio_datasets(spec: str, train: bool = False) -> List[Any]:
             tsv = os.path.join(meta, f"{prefix}_{split}_new.tsv")
             txt = os.path.join(meta, f"{prefix}_{split}_texts.json")
             out.append(AudioRetrievalDataset(tsv, txt))
-        elif name in ("audioset", "vggsound"):
+        elif name == "vggsound":
+            fname = f"vggsound_audio-only_{split or 'val'}.json"
+            ds = AudioClsDataset(os.path.join(meta, fname), train=train,
+                                 classnames=MD.load_vggsound_classes())
+            ds.eval_metric = "acc"  # single-label top-1 (reference :675)
+            out.append(ds)
+        elif name == "audioset":
             anno = os.path.join(meta, f"{name}_{split}.json")
             out.append(AudioClsDataset(anno, train=train))
         else:

@@ -131,6 +131,18 @@ def load_audioset_classes() -> List[str]:
     return out
 
 
+def load_vggsound_classes() -> List[str]:
+    """VGGSound 309 class names from vggsound_stat.csv (header-less; column
+    0 = name — reference VGGSoundCLSDataset.init_class_labels)."""
+    d = metadata_dir("audio")
+    out = []
+    with open(os.path.join(d, "vggsound_stat.csv")) as f:
+        for row in csv.reader(f):
+            if row:
+                out.append(row[0].strip())
+    return out
+
+
 def load_scene_names(dataset: str = "nyu") -> List[str]:
     d = metadata_dir("depth")
     fname = "nyu-depth-v2_scene_name.json"
