@@ -130,3 +130,29 @@ def test_retrieval_eval_end_to_end():
         texts=texts, text_ids=list(range(4)),
     )
     assert out["r_mean"] > 90.0
+
+
+def test_cond_accuracy_matches_reference():
+    """cond-merged top-k vs reference cond_acc (zero_shot.py:62-81)."""
+    import importlib.util
+    import torch
+
+    spec_path = "/root/reference/vitlens/src/training/zero_shot.py"
+    src = open(spec_path).read()
+    # extract just the cond_acc function to avoid the module's heavy imports
+    import re as _re
+    m = _re.search(r"def cond_acc.*?return res, correct", src, _re.S)
+    ns = {"torch": torch}
+    exec(m.group(0), ns)
+    cond_acc = ns["cond_acc"]
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(32, 12).astype(np.float32)
+    targets = rng.randint(0, 12, 32)
+    merge = [3, 7]
+    (r1, r5), _ = cond_acc(torch.from_numpy(logits),
+                           torch.from_numpy(targets).clone(),
+                           merge, merge_idx=100, topk=(1, 5))
+    got = M.cond_topk_correct(logits, targets, merge, 100, (1, 5))
+    assert abs(got[1] * 100.0 / 32 - r1.item()) < 1e-4
+    assert abs(got[5] * 100.0 / 32 - r5.item()) < 1e-4

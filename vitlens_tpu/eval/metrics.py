@@ -41,6 +41,26 @@ def mean_average_precision(targets: np.ndarray, scores: np.ndarray) -> float:
     return float(np.mean(aps))
 
 
+def cond_topk_correct(logits: np.ndarray, targets: np.ndarray,
+                      merge_indices, merge_to: int = 100,
+                      topk=(1, 5)):
+    """Top-k correctness where a set of equivalent class indices is merged
+    (reference cond_acc, zero_shot.py:62-81 — NYU duplicate scene classes):
+    both predictions and targets in `merge_indices` are mapped to `merge_to`
+    before comparison. Returns {k: n_correct}."""
+    logits = np.asarray(logits)
+    targets = np.asarray(targets).copy()
+    kmax = max(topk)
+    pred = np.argsort(-logits, axis=1, kind="stable")[:, :kmax].copy()
+    for idx in merge_indices:
+        targets[targets == idx] = merge_to
+        pred[pred == idx] = merge_to
+    out = {}
+    for k in topk:
+        out[k] = float(np.any(pred[:, :k] == targets[:, None], axis=1).sum())
+    return out
+
+
 class Accuracy:
     """Streaming top-1 accuracy (metrics/accuracy.py:8-56). `targets` may be
     class ids [N] or multi-hot [N, C] (correct if predicted class is hot)."""
