@@ -297,6 +297,10 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch, fps_key=None):
         ax = axis_name if mesh is not None else None
+        if ax is not None and fps_key is not None:
+            # decorrelate stochastic sampling across shards (the reference
+            # seeds each rank with seed + rank, audio_main.py:52-55)
+            fps_key = jax.random.fold_in(fps_key, jax.lax.axis_index(ax))
         if sc.accum_freq > 1:
             loss, grads, new_model_state = accum_grads(
                 state.params, state.model_state, batch, fps_key, ax
