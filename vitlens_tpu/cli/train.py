@@ -137,23 +137,25 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
 
     compute_dtype = _dtype(args)
 
+    # params/state are explicit jit args (donating them to a closure would
+    # bake the weights into the jaxpr as constants and re-trace every epoch)
     @jax.jit
-    def enc_vis(x):
-        feats, _ = tri.encode_visual(params, model_state, x, cfg,
-                                     normalize=False,
+    def enc_vis(p, s, x):
+        feats, _ = tri.encode_visual(p, s, x, cfg, normalize=False,
                                      compute_dtype=compute_dtype)
         return feats
 
     @jax.jit
-    def enc_txt(toks):
-        return tri.encode_text(params, toks, cfg, normalize=False,
+    def enc_txt(p, toks):
+        return tri.encode_text(p, toks, cfg, normalize=False,
                                compute_dtype=compute_dtype)
 
     def encode_visual(x):
-        return np.asarray(enc_vis(jnp.asarray(x)), np.float32)
+        return np.asarray(enc_vis(params, model_state, jnp.asarray(x)),
+                          np.float32)
 
     def encode_text(toks):
-        return np.asarray(enc_txt(jnp.asarray(toks)), np.float32)
+        return np.asarray(enc_txt(params, jnp.asarray(toks)), np.float32)
 
     results = {}
     for spec in args.val_data.split("::"):

@@ -200,14 +200,19 @@ def _run_eval(args, params, state, tower, dt, writer, gstep):
     files = sorted(glob.glob(args.eval_files))
     ds = OS.OpenShapeTripletDataset(files, npoints=args.npoints,
                                     augment=False)
+
+    @jax.jit
+    def enc(p, s, x):
+        f, _ = OS.clip_bind_apply(p, s, x, tower, compute_dtype=dt)
+        return f
+
+    info = build_loader(ds, batch_size=args.batch_size, shuffle=False,
+                        drop_last=False)
     preds = []
-    for i in range(len(ds)):
-        item = ds[i]
-        f, _ = OS.clip_bind_apply(
-            params, state, jnp.asarray(item["xyz_features"][None]), tower,
-            compute_dtype=dt)
-        preds.append(np.asarray(f[0], np.float32))
-    out = OS.precomputed_text_eval(np.stack(preds), labels, cls_feats)
+    for raw in info.dataloader:
+        x = jnp.asarray(np.asarray(raw["xyz_features"]))
+        preds.append(np.asarray(enc(params, state, x), np.float32))
+    out = OS.precomputed_text_eval(np.concatenate(preds), labels, cls_feats)
     writer.log(out, gstep, "val")
     logging.info("openshape eval: " + ", ".join(
         f"{k}={v:.4f}" for k, v in out.items()))
