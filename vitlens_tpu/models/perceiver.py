@@ -121,6 +121,27 @@ def perceiver_init(key, cfg: PerceiverConfig) -> Params:
     return p
 
 
+def point_perceiver_init(key, cfg: PerceiverConfig, embed_dim: int) -> Params:
+    """Standalone point-cloud head (reference PointPerceiver,
+    perceiver.py:335-366): perceiver -> mean over latents -> LayerNorm ->
+    @ proj. The adapter runs separately (models/vit._adapter_apply)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "perceiver": perceiver_init(k1, cfg),
+        "layer_norm": layer_norm_init(cfg.latent_dim),
+        "proj": (cfg.latent_dim ** -0.5)
+        * jax.random.normal(k2, (cfg.latent_dim, embed_dim)),
+    }
+
+
+def point_perceiver_apply(p: Params, tokens: jnp.ndarray,
+                          cfg: PerceiverConfig) -> jnp.ndarray:
+    x = perceiver_apply(p["perceiver"], tokens, cfg)
+    x = jnp.mean(x, axis=1)
+    x = layer_norm(x, p["layer_norm"])
+    return x @ p["proj"].astype(x.dtype)
+
+
 def perceiver_apply(
     p: Params,
     tokens: jnp.ndarray,
