@@ -313,7 +313,8 @@ def point_tokenizer_apply(
     reduce_dim linear; pos = MLP(center)."""
     enc = p["encoder"]
     neighborhood, center = group_points(
-        pts, cfg.num_group, cfg.group_size, key=fps_key
+        pts, cfg.num_group, cfg.group_size, key=fps_key,
+        knn_exact=cfg.knn_exact,
     )  # [B,G,M,3], [B,G,3]
 
     h = neighborhood @ enc["conv1"]["w"].astype(pts.dtype) + enc["conv1"]["b"].astype(pts.dtype)

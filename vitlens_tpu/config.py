@@ -113,6 +113,9 @@ class PointAdapterConfig:
     trans_dim: int = 384
     in_channel: int = 3
     radius: float = 0.2  # pnsa ball-query radius
+    # kNN exactness: None = auto (approx_min_k on TPU @ recall 0.99,
+    # exact top_k elsewhere); True forces reference-exact neighbours
+    knn_exact: Optional[bool] = None
 
 
 @dataclass(frozen=True)
