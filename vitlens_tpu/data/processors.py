@@ -307,6 +307,8 @@ class AudioProcessor:
         self.seed = seed
 
     def process_waveform(self, wf: np.ndarray, sr: int) -> np.ndarray:
+        import jax
+
         from vitlens_tpu.data.audio_decode import resample
         from vitlens_tpu.ops.fbank import fbank_fixed_length
 
@@ -328,12 +330,16 @@ class AudioProcessor:
             while len(clips) < self.n_clip:
                 clips.append(clips[-1])
         batch = np.stack([c[0] for c in clips])  # [n_clip, T] mono
-        fb = fbank_fixed_length(
-            batch, target_length=self.target_length, mean=self.mean,
-            std=self.std, sample_frequency=float(self.sr),
-            num_mel_bins=self.mel_bins,
-        )
-        return np.asarray(fb, np.float32)
+        # host-side fbank pinned to CPU: the data loader must never dispatch
+        # per-sample work to the accelerator (the on-device fbank path is
+        # models/vit.audio waveform input / ops/fbank inside encode)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            fb = fbank_fixed_length(
+                batch, target_length=self.target_length, mean=self.mean,
+                std=self.std, sample_frequency=float(self.sr),
+                num_mel_bins=self.mel_bins,
+            )
+            return np.asarray(fb, np.float32)
 
     def __call__(self, paths) -> np.ndarray:
         from vitlens_tpu.data.audio_decode import load_audio_file

@@ -128,6 +128,16 @@ def vision_tower_apply(
 
     With output_tokens=True returns ((pooled, tokens), new_state) like the
     reference output_tokens path (transformer.py:784-787)."""
+    if cfg.modality == "audio" and x.ndim == 2:
+        # raw waveform input [B, samples]: fbank on-device (fused into the
+        # encode graph — the TPU-native alternative to host preprocessing)
+        from vitlens_tpu.ops.fbank import fbank_fixed_length
+
+        x = fbank_fixed_length(
+            x, target_length=cfg.audio.target_length,
+            sample_frequency=float(cfg.audio.sampling_rate),
+            num_mel_bins=cfg.audio.mel_bins,
+        )
     x = x.astype(compute_dtype)
     if cfg.modality == "video":
         # reference vid_adapter_forward (transformer.py:679-712), ltpos path:
