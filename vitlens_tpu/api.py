@@ -101,6 +101,10 @@ class ViTLens:
         )
 
         sd = strip_prefixes(load_torch_checkpoint(path))
+        # merged multi-modality checkpoint (reference export_checkpoint,
+        # vitlens.py:153-159): keys are vitlens.{modality}.{...}
+        if any(k.startswith(f"vitlens.{m}.") for k in sd):
+            sd = sub(sd, f"vitlens.{m}.")
         cfg = entry["cfg"]
         if entry["kind"] == "text":
             if "token_embedding.weight" in sd:
