@@ -27,6 +27,11 @@ from vitlens_tpu.config import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
 
 AST_MEAN = -4.2677393
 AST_STD = 4.5689974
+# AS+VGGSound-trained audio variant stats (reference at_processor.py:51-52)
+AS_VGGS_MEAN = -5.081
+AS_VGGS_STD = 4.485
+AUDIO_STATS = {"audioset": (AST_MEAN, AST_STD),
+               "as_vggs": (AS_VGGS_MEAN, AS_VGGS_STD)}
 
 
 def _wrap_list(x):

@@ -155,6 +155,44 @@ def retrieval_eval(
     return rec.merge_results()
 
 
+def video_retrieval_eval(
+    encode_visual: Callable[[np.ndarray], np.ndarray],
+    encode_text: Callable[[np.ndarray], np.ndarray],
+    tokenizer: Callable[[Sequence[str]], np.ndarray],
+    batches: Iterable[Tuple[np.ndarray, np.ndarray, Sequence[str]]],
+    *,
+    frame_mean_pool: bool = False,
+    n_frames: int = 8,
+) -> Dict:
+    """Video<->text retrieval (reference test_vidret_single,
+    zero_shot.py:460-569): batches yield (video_ids, video_inputs,
+    captions); duplicate video ids (multi-caption) are deduped on the video
+    side; with frame_mean_pool the encoder sees per-frame inputs [(B T), ...]
+    and frame embeddings are mean-pooled before normalisation."""
+    from vitlens_tpu.eval.metrics import Recall
+
+    vid_feats: Dict[int, np.ndarray] = {}
+    text_feats = []
+    text_ids = []
+    for ids, x, captions in batches:
+        x = np.asarray(x)
+        feats = np.asarray(encode_visual(x), np.float32)
+        if frame_mean_pool:
+            feats = feats.reshape(-1, n_frames, feats.shape[-1]).mean(axis=1)
+        feats = _l2n(feats)
+        tf = _l2n(np.asarray(encode_text(tokenizer(list(captions))), np.float32))
+        for i, vid in enumerate(np.asarray(ids).tolist()):
+            if vid not in vid_feats:
+                vid_feats[vid] = feats[i]
+            text_feats.append(tf[i])
+            text_ids.append(vid)
+    keys = sorted(vid_feats)
+    video = np.stack([vid_feats[k] for k in keys])
+    video_ids = np.asarray(keys)
+    sim_i2t = video @ np.stack(text_feats).T
+    return Recall.retrieval_eval(video_ids, np.asarray(text_ids), sim_i2t)
+
+
 def run_eval(
     eval_metric: str,
     **kwargs,
