@@ -175,3 +175,34 @@ class ViTLens:
 
     def export_params(self) -> Dict[str, Any]:
         return {m: self._towers[m]["params"] for m in self.modalities}
+
+    def _ckpt_tree(self):
+        return {
+            "params": self.export_params(),
+            "state": {m: self._towers[m]["state"] for m in self.modalities
+                      if self._towers[m]["state"] is not None},
+        }
+
+    def export_checkpoint(self, save_path: str) -> str:
+        """Save a merged multi-modality checkpoint (params + BN state),
+        loadable with `ViTLens.load_checkpoint`."""
+        import json
+        import os
+
+        from vitlens_tpu.train import checkpoint as C
+
+        C._save_tree(save_path, self._ckpt_tree())
+        with open(os.path.join(save_path, "vitlens_meta.json"), "w") as f:
+            json.dump({"model_var": self.model_var,
+                       "modalities": list(self.modalities)}, f)
+        return save_path
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a merged checkpoint written by export_checkpoint."""
+        from vitlens_tpu.train import checkpoint as C
+
+        restored = C._load_tree(path, self._ckpt_tree())
+        for m in self.modalities:
+            self._towers[m]["params"] = restored["params"][m]
+            if m in restored.get("state", {}):
+                self._towers[m]["state"] = restored["state"][m]

@@ -103,7 +103,17 @@ def main(argv=None) -> int:
 
     files = sorted(glob.glob(args.train_files)) if args.train_files else []
     if not files:
-        logging.info("no training files; nothing to do")
+        # eval-only mode (reference inference.py:77-230)
+        if args.resume:
+            host = {"params": params, "state": state}
+            host = C.load_checkpoint(args.resume, host)
+            params, state = host["params"], host["state"]
+            logging.info(f"loaded {args.resume}")
+        if args.eval_feats and args.eval_files and args.eval_labels:
+            _run_eval(args, params, state, tower, dt,
+                      MetricsWriter(log_dir), 0)
+            return 0
+        logging.info("no training files and no eval spec; nothing to do")
         return 0
     ds = OS.OpenShapeTripletDataset(files, npoints=args.npoints,
                                     seed=args.seed)
