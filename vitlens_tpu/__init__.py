@@ -17,6 +17,16 @@ from vitlens_tpu.config import (
 )
 from vitlens_tpu.factory import TriModel, create_model
 
+
+def __getattr__(name):
+    # lazy: vitlens_tpu.ViTLens without importing the API stack eagerly
+    if name == "ViTLens":
+        from vitlens_tpu.api import ViTLens
+
+        return ViTLens
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -27,6 +37,7 @@ __all__ = [
     "make_tower_config",
     "TriModel",
     "create_model",
+    "ViTLens",
     "OPENAI_DATASET_MEAN",
     "OPENAI_DATASET_STD",
     "__version__",
