@@ -188,3 +188,37 @@ def test_modelnet_dat_fixture(tmp_path):
     assert item["pc"].shape == (64, 3)
     assert item["label"] == 2
     assert np.max(np.linalg.norm(item["pc"], axis=1)) <= 1.0 + 1e-5
+
+
+def test_objaverse_pickle_buckets(tmp_path, monkeypatch):
+    import io
+    import pickle
+
+    from PIL import Image
+
+    from vitlens_tpu.data.datasets import ObjaverseDataset
+
+    root = tmp_path / "ulip_batches"
+    rng = np.random.RandomState(0)
+
+    def jpg_bytes(seed):
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.random.RandomState(seed).rand(48, 48, 3) * 255).astype(np.uint8)
+        ).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    for b in range(2):
+        d = root / f"bucket_{b}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            entry = (rng.randn(300, 3).astype(np.float32),
+                     [jpg_bytes(b * 10 + i)], [["a chair render"]])
+            pickle.dump(entry, open(d / f"{i}.pkl", "wb"))
+    monkeypatch.setenv("VITLENS_PC_DATA_DIR", str(tmp_path))
+    ds = ObjaverseDataset()
+    assert len(ds) == 6
+    item = ds[4]
+    assert item["pc"].shape == (300, 3)
+    assert item["image"].shape == (3, 224, 224)
+    assert item["caption_str"] == "a chair render"

@@ -238,7 +238,12 @@ def main(argv=None) -> int:
             convert_tri_state_dict, load_torch_checkpoint,
         )
 
-        sd = load_torch_checkpoint(args.pretrained)
+        path = args.pretrained
+        if not os.path.exists(path):
+            from vitlens_tpu.utils.hub import resolve_pretrained
+
+            path = resolve_pretrained(args.model, args.pretrained)
+        sd = load_torch_checkpoint(path)
         lp, ls = convert_tri_state_dict(sd, cfg)
         params, model_state = _merge(params, lp), _merge(model_state, ls)
         logging.info(f"loaded pretrained {args.pretrained}")

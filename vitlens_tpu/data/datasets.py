@@ -461,6 +461,91 @@ class ScanObjectNNDataset:
                 "label": int(self.labels[idx])}
 
 
+class ObjaverseDataset:
+    """ULIP2-Objaverse triplet buckets (reference Objverse,
+    modal_3d/datasets.py:395-494): a directory of LMDB buckets named
+    `*_<i>`, each entry = pickle of (pc [N,3], [jpeg bytes, ...],
+    [[captions...], ...]); a random rendered view + caption is drawn per
+    sample and the reference augmentation chain applied
+    (dropout -> scale -> shift -> small-rotation -> y-rotation).
+
+    This environment lacks the lmdb package; buckets may alternatively be
+    directories of `<idx>.pkl` files with the same tuples (the loader
+    dispatches on what it finds)."""
+
+    eval_metric = "acc"
+
+    def __init__(self, root: Optional[str] = None, augment: bool = True,
+                 seed: int = 0, image_size: int = 224):
+        import pickle
+
+        self.root = root or os.path.join(_env_root("PC"), "ulip_batches")
+        self.pickle = pickle
+        buckets = sorted(
+            os.listdir(self.root),
+            key=lambda x: int(x.split(".")[0].split("_")[-1]))
+        self.buckets = [os.path.join(self.root, b) for b in buckets]
+        try:
+            import lmdb  # type: ignore
+
+            self._lmdb = lmdb
+        except ImportError:
+            self._lmdb = None
+        self._envs = [None] * len(self.buckets)
+        self.counts = [self._bucket_len(i) for i in range(len(self.buckets))]
+        self.cumulative = np.cumsum(self.counts)
+        self.augment = augment
+        self.rng = np.random.RandomState(seed)
+        self.image_size = image_size
+
+    def _bucket_len(self, i: int) -> int:
+        path = self.buckets[i]
+        if self._lmdb is not None and not os.path.isdir(path):
+            env = self._lmdb.open(path, readonly=True, lock=False)
+            with env.begin() as txn:
+                n = txn.stat()["entries"]
+            self._envs[i] = env
+            return n
+        if os.path.isdir(path):
+            return len([f for f in os.listdir(path) if f.endswith(".pkl")])
+        raise RuntimeError(
+            f"bucket {path} is an LMDB file but the lmdb package is missing")
+
+    def __len__(self):
+        return int(self.cumulative[-1]) if len(self.cumulative) else 0
+
+    def _load_entry(self, idx: int):
+        b = int(np.searchsorted(self.cumulative, idx, side="right"))
+        local = idx - (0 if b == 0 else int(self.cumulative[b - 1]))
+        path = self.buckets[b]
+        if self._envs[b] is not None:
+            with self._envs[b].begin() as txn:
+                return self.pickle.loads(txn.get(str(local).encode("ascii")))
+        with open(os.path.join(path, f"{local}.pkl"), "rb") as f:
+            return self.pickle.load(f)
+
+    def __getitem__(self, idx):
+        import io
+
+        from PIL import Image
+
+        pc, imgs, texts = self._load_entry(idx)
+        pc = P.pc_normalize(np.asarray(pc, np.float32))
+        if self.augment:
+            pc = A.random_point_dropout(pc, self.rng)
+            pc = A.random_scale(pc, self.rng)
+            pc = A.random_shift(pc, self.rng)
+            pc = A.rotate_perturbation(pc, self.rng)
+            pc = A.rotate_point_cloud_y(pc, self.rng)
+        img_idx = int(self.rng.randint(0, len(imgs)))
+        img = Image.open(io.BytesIO(imgs[img_idx]))
+        image = A.train_image_transform(img, self.rng, self.image_size)
+        textlist = texts[img_idx]
+        caption = textlist[int(self.rng.randint(0, len(textlist)))]
+        return {"id": idx, "pc": pc.astype(np.float32), "image": image,
+                "caption_str": caption}
+
+
 class PCTripletDataset:
     """ULIP-style (pc, rendered image, caption) triplets for training
     (reference ShapeNet/Objverse, modal_3d/datasets.py:395-494, :572-771).
