@@ -104,6 +104,9 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool):
             return D.ModelNetDataset()
         if spec.startswith("scanobjectnn"):
             return D.ScanObjectNNDataset()
+        if spec.startswith("objaverse"):
+            _, _, root = spec.partition("@")
+            return D.ObjaverseDataset(root=root or None, augment=train)
         return D.PCTripletDataset(anno_path=spec, augment=train)
     raise ValueError(m)
 
