@@ -144,3 +144,42 @@ def test_bf16_image_tower_close():
         * np.linalg.norm(np.asarray(bf16, np.float32), axis=-1)
     )
     assert np.all(cos > 0.99)
+
+
+def test_eeg_tower_perceiver_as_transformer_parity():
+    """perceiver_as_transformer mode: plain resblock stack at trunk width
+    (reference get_perceiver, perceiver.py:372-381).
+
+    NOTE: the reference wires this mode with an NLD tensor into an
+    LND-convention Transformer (transformer.py:747-751 passes the pre-permute
+    activations), silently attending across the BATCH axis. No released
+    config uses the mode; we implement the evidently intended semantics
+    (attention over tokens) and verify against the reference Transformer
+    module applied with the correct LND permute."""
+    import torch
+
+    from vitlens_tpu.config import EEGAdapterConfig
+
+    eeg = EEGAdapterConfig(chans=16, time_len=32, window_size=1, stride=1)
+    tower = TowerConfig(
+        arch=small_arch(), embed_dim=48, modality="eeg", eeg=eeg,
+        perceiver=PerceiverConfig(depth=2, num_latents=32, as_transformer=True),
+    )
+    vt = build_ref_vision_tower(tower)
+    x = np.random.RandomState(8).randn(2, 16, 32).astype(np.float32)
+
+    # reference forward with the layout bug fixed: permute around the
+    # perceiver-transformer call
+    orig_perceiver = vt.perceiver
+
+    class _Permuted(torch.nn.Module):
+        def forward(self, t):
+            return orig_perceiver(t.permute(1, 0, 2)).permute(1, 0, 2)
+
+    vt.perceiver = _Permuted()
+    with torch.no_grad():
+        want = vt(torch.from_numpy(x)).numpy()
+    vt.perceiver = orig_perceiver
+    params, state = convert_ref_vision_tower(vt, tower)
+    got, _ = vision_tower_apply(params, state, jnp.asarray(x), tower)
+    assert rel_err(np.asarray(got), want) < TOL

@@ -97,6 +97,12 @@ def vision_tower_init(key, cfg: TowerConfig) -> Tuple[Params, State]:
         cfg.perceiver.as_identity or cfg.perceiver.as_transformer
     ):
         p["perceiver"] = perceiver_init(k_perc, cfg.perceiver)
+    elif cfg.perceiver is not None and cfg.perceiver.as_transformer:
+        # perceiver_as_transformer: a plain resblock stack at trunk width
+        # (reference get_perceiver, perceiver.py:372-381)
+        p["perceiver_transformer"] = L.transformer_init(
+            k_perc, width, cfg.perceiver.depth, arch.mlp_ratio,
+            arch.ls_init_value)
 
     p["class_embedding"] = scale * jax.random.normal(k_cls, (width,))
     p["positional_embedding"] = scale * jax.random.normal(
@@ -168,6 +174,12 @@ def vision_tower_apply(
         cfg.perceiver.as_identity or cfg.perceiver.as_transformer
     ):
         tokens = perceiver_apply(p["perceiver"], tokens, cfg.perceiver)
+    elif "perceiver_transformer" in p:
+        # perceiver_as_transformer mode (reference perceiver.py:372-381)
+        tokens = L.transformer(
+            tokens, p["perceiver_transformer"], cfg.arch.heads,
+            L.get_act(cfg.quick_gelu), remat=remat,
+        )
     # as_identity: tokens pass straight through (reference perceiver.py:369-371)
 
     B = tokens.shape[0]

@@ -283,6 +283,10 @@ def convert_vision_tower(
         cfg.perceiver.as_identity or cfg.perceiver.as_transformer
     ):
         p["perceiver"] = convert_perceiver(sub(sd, "perceiver."), cfg.perceiver)
+    elif cfg.perceiver is not None and cfg.perceiver.as_transformer:
+        # perceiver_as_transformer: a plain Transformer named "perceiver"
+        p["perceiver_transformer"] = convert_transformer_blocks(
+            sub(sd, "perceiver."), cfg.perceiver.depth)
     return p, {"adapter": adapter_s}
 
 
