@@ -65,11 +65,13 @@ def classification_eval(
     for ids, x, targets in batches:
         x = np.asarray(x)
         if clip_mean:
+            # unnormalized clip features -> mean -> normalize ONCE
+            # (reference zero_shot.py:684-695)
             B, S = x.shape[:2]
             feats = np.asarray(
                 encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
             )
-            feats = _l2n(_l2n(feats).reshape(B, S, -1).mean(axis=1))
+            feats = _l2n(feats.reshape(B, S, -1).mean(axis=1))
         else:
             feats = _l2n(np.asarray(encode_visual(x), np.float32))
         logits = feats @ classifier.T
@@ -110,11 +112,13 @@ def map_eval(
     for ids, x, targets in batches:
         x = np.asarray(x)
         if clip_mean:
+            # unnormalized clip features -> mean -> normalize ONCE
+            # (reference zero_shot.py:684-695)
             B, S = x.shape[:2]
             feats = np.asarray(
                 encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
             )
-            feats = _l2n(_l2n(feats).reshape(B, S, -1).mean(axis=1))
+            feats = _l2n(feats.reshape(B, S, -1).mean(axis=1))
         else:
             feats = _l2n(np.asarray(encode_visual(x), np.float32))
         logits = logit_scale * feats @ classifier.T
@@ -144,11 +148,13 @@ def retrieval_eval(
     for ids, x in batches:
         x = np.asarray(x)
         if clip_mean:
+            # unnormalized clip features -> mean -> normalize ONCE
+            # (reference zero_shot.py:684-695)
             B, S = x.shape[:2]
             feats = np.asarray(
                 encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
             )
-            feats = _l2n(_l2n(feats).reshape(B, S, -1).mean(axis=1))
+            feats = _l2n(feats.reshape(B, S, -1).mean(axis=1))
         else:
             feats = _l2n(np.asarray(encode_visual(x), np.float32))
         rec.compute(ids, feats)
