@@ -222,6 +222,7 @@ class CoCaConfig:
     text: TextArch = TextArch()
     multimodal: MultimodalArch = MultimodalArch()
     n_queries: int = 256  # attn pooler queries (+1 contrastive query row)
+    attn_pooler_heads: int = 8  # reference CLIPVisionCfg.attn_pooler_heads
     pad_id: int = 0
     caption_loss_weight: float = 2.0
     contrastive_loss_weight: float = 1.0
@@ -250,14 +251,12 @@ def coca_init(key, cfg: CoCaConfig) -> Tuple[Params, Params]:
     return params, {"visual": vis_s}
 
 
-def coca_encode_image(params, state, images, cfg: CoCaConfig,
+def coca_encode_image(params, images, cfg: CoCaConfig,
                       compute_dtype=jnp.float32):
     """Returns (latent [B, E], token embeds [B, n_queries, E]) following the
     reference attentional-pool vision path (transformer.py:778-787)."""
     from vitlens_tpu.adapters.tokenizers import patch_embed
 
-    tower = TowerConfig(arch=cfg.vision, embed_dim=cfg.embed_dim,
-                        modality="image")
     p = params["visual"]
     x = images.astype(compute_dtype)
     tokens = patch_embed(x, p["adapter"]["conv1"], cfg.vision.patch_size)
@@ -268,7 +267,7 @@ def coca_encode_image(params, state, images, cfg: CoCaConfig,
     h = h + p["positional_embedding"].astype(h.dtype)
     h = L.layer_norm(h, p["ln_pre"])
     h = L.transformer(h, p["trunk"], cfg.vision.heads, L.gelu)
-    h = attentional_pooler_apply(p["attn_pool"], h, heads=8)
+    h = attentional_pooler_apply(p["attn_pool"], h, heads=cfg.attn_pooler_heads)
     h = L.layer_norm(h, p["ln_post"])
     latent, tokens_out = h[:, 0], h[:, 1:]
     latent = latent @ p["proj"].astype(latent.dtype)
@@ -283,8 +282,8 @@ def coca_forward(params, state, images, text, cfg: CoCaConfig,
     text_latent, token_embs = cls_text_tower_apply(
         params["text"], text_in, cfg.text, pad_id=cfg.pad_id,
         compute_dtype=compute_dtype)
-    image_latent, image_embs = coca_encode_image(
-        params, state, images, cfg, compute_dtype)
+    image_latent, image_embs = coca_encode_image(params, images, cfg,
+                                                  compute_dtype)
     labels = text[:, -token_embs.shape[1]:]
     logits = multimodal_decoder_apply(
         params["text_decoder"], image_embs, token_embs, cfg.multimodal)
@@ -320,7 +319,7 @@ def coca_generate_greedy(params, state, images, cfg: CoCaConfig,
     """Minimal greedy decoding (reference generate(), coca_model.py:175+,
     supports beam search — greedy here covers the API surface)."""
     B = images.shape[0]
-    image_latent, image_embs = coca_encode_image(params, state, images, cfg)
+    image_latent, image_embs = coca_encode_image(params, images, cfg)
     out = jnp.full((B, 1), sot_token, jnp.int32)
     for _ in range(seq_len):
         _, token_embs = cls_text_tower_apply(
