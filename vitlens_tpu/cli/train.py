@@ -291,7 +291,7 @@ def main(argv=None) -> int:
         compute_dtype=_dtype(args), remat=args.grad_checkpointing,
         sync_bn=args.use_bn_sync and mesh is not None,
     )
-    step = make_train_step(cfg, tx, mask, sc, mesh=mesh)
+    step = make_train_step(cfg, tx, mask, sc, mesh=mesh, donate=True)
     ts = init_train_state(params, model_state, tx)
 
     ckpt_dir = os.path.join(log_dir, "checkpoints")

@@ -213,12 +213,17 @@ def make_train_step(
     sc: StepConfig = StepConfig(),
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
+    donate: bool = False,
 ):
     """Build the jitted sharded train step.
 
     With a mesh: the whole step runs under shard_map — params/opt replicated,
     batch sharded on `data`; grads pmean'd (DDP semantics); loss gathers
     embeddings over the axis. Without a mesh: single-device step.
+
+    donate=True donates the TrainState buffers (params + optimizer state are
+    updated in place on device — halves their HBM footprint); the caller must
+    not touch the previous TrainState afterwards.
     """
 
     # Fully-frozen towers get stop_gradient'd params so XLA prunes their
@@ -236,8 +241,39 @@ def make_train_step(
             out[k] = jax.lax.stop_gradient(p[k])
         return out
 
+    # Differentiate ONLY trainable leaves: value_and_grad over the trainable
+    # subset avoids allocating zero gradients (and backward residuals) for
+    # frozen towers — ~3 GB on a frozen-trunk ViT-L recipe.
+    _flat_trainable = [
+        bool(jnp.any(m > 0)) for m in jax.tree.leaves(trainable_mask)
+    ]
+    _treedef = None  # captured on first use
+
+    def _split_trainable(params):
+        leaves, treedef = jax.tree.flatten(params)
+        train = [l for l, t in zip(leaves, _flat_trainable) if t]
+        frozen = [l for l, t in zip(leaves, _flat_trainable) if not t]
+        return train, frozen, treedef
+
+    def _merge_trainable(train, frozen, treedef):
+        it_t, it_f = iter(train), iter(frozen)
+        leaves = [next(it_t) if t else next(it_f) for t in _flat_trainable]
+        return jax.tree.unflatten(treedef, leaves)
+
+    def _grads_to_tree(train_grads, params):
+        leaves, treedef = jax.tree.flatten(params)
+        it = iter(train_grads)
+        out = [next(it) if t else jnp.zeros((), l.dtype)
+               for l, t in zip(leaves, _flat_trainable)]
+        # frozen grads as scalar zeros: broadcast-compatible with the
+        # update mask multiply and never materialised at full size
+        return jax.tree.unflatten(treedef, out)
+
     def micro_grads(params, model_state, batch, fps_key, ax):
-        def loss_of(p):
+        train, frozen, treedef = _split_trainable(params)
+
+        def loss_of(train_leaves):
+            p = _merge_trainable(train_leaves, frozen, treedef)
             out, new_state = _forward_features(
                 _stopped(p), model_state, batch, model_cfg, sc, ax, True,
                 fps_key
@@ -245,8 +281,8 @@ def make_train_step(
             loss = _loss_from_features(out, batch, sc, ax)
             return loss, new_state
 
-        (loss, new_state), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-        return loss, grads, new_state
+        (loss, new_state), tg = jax.value_and_grad(loss_of, has_aux=True)(train)
+        return loss, _grads_to_tree(tg, params), new_state
 
     def accum_grads(params, model_state, batch, fps_key, ax):
         """--accum-freq replay (train.py:154-210): cache no-grad features for
@@ -330,8 +366,9 @@ def make_train_step(
         }
         return new_state, metrics
 
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
-        return jax.jit(step_fn)
+        return jax.jit(step_fn, **donate_kw)
 
     repl = P()
 
@@ -344,4 +381,4 @@ def make_train_step(
             check_vma=False,
         )(state, batch, fps_key)
 
-    return jax.jit(sharded)
+    return jax.jit(sharded, **donate_kw)
