@@ -1,0 +1,120 @@
+"""End-to-end CLI tests (tiny arch, fixtures). These exercise the same
+drivers a user runs: train, eval-only, linear probe, openshape."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(autouse=True)
+def _cpu_devices(monkeypatch):
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a, **k: jax.local_devices(backend="cpu")[:2])
+
+
+def test_train_cli_synthetic(tmp_path):
+    from vitlens_tpu.cli.train import main
+
+    rc = main([
+        "--modality", "eeg", "--model", "ViT-Tiny-Test",
+        "--dataset-type", "synthetic", "--train-data", "synthetic",
+        "--train-num-samples", "16", "--batch-size", "2", "--epochs", "1",
+        "--warmup", "2", "--precision", "fp32", "--n-tower", "3",
+        "--log-every-n-steps", "1", "--logs", str(tmp_path), "--name", "t",
+    ])
+    assert rc == 0
+    results = (tmp_path / "t" / "results.jsonl").read_text().splitlines()
+    assert len(results) >= 1
+    rec = json.loads(results[-1])
+    assert np.isfinite(rec["train/loss"])
+    assert (tmp_path / "t" / "checkpoints" / "epoch_latest").exists()
+
+
+def test_train_cli_eval_only_esc50_fixture(tmp_path, monkeypatch):
+    from vitlens_tpu.cli.train import main
+
+    audio_dir = tmp_path / "esc50" / "audio"
+    audio_dir.mkdir(parents=True)
+    anno = []
+    for i in range(4):
+        t = np.arange(16000 * 5) / 16000.0
+        x = (0.3 * np.sin(2 * np.pi * (300 + 100 * i) * t) * 32767).astype(
+            np.int16)
+        with wave.open(str(audio_dir / f"c{i}.wav"), "w") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.tobytes())
+        anno.append({"uniq_id": i, "audio_path": f"esc50/audio/c{i}.wav",
+                     "text": "x", "class_label": i % 2})
+    meta = tmp_path / "meta" / "modal_audio" / "data"
+    meta.mkdir(parents=True)
+    (meta / "esc50_fold-1.json").write_text(json.dumps(anno))
+    (meta / "esc50_label.json").write_text(
+        json.dumps({str(i): [f"class{i}"] for i in range(50)}))
+    monkeypatch.setenv("VITLENS_AUDIO_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("VITLENS_METADATA_DIR", str(tmp_path / "meta"))
+
+    rc = main(["--modality", "audio", "--model", "ViT-Tiny-Test",
+               "--val-data", "esc50@fold-1", "--batch-size", "2",
+               "--precision", "fp32", "--logs", str(tmp_path / "logs"),
+               "--name", "e"])
+    assert rc == 0
+    rec = json.loads((tmp_path / "logs" / "e" / "results.jsonl"
+                      ).read_text().splitlines()[-1])
+    assert "val/esc50@fold-1" in rec
+
+
+def test_linprobe_cli(tmp_path, monkeypatch):
+    from PIL import Image
+
+    from vitlens_tpu.cli.train_linprobe import main
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    anno = []
+    for i in range(8):
+        Image.fromarray((np.random.RandomState(i).rand(64, 64, 3) * 255
+                         ).astype(np.uint8)).save(frames / f"g{i}.jpg")
+        anno.append({"gel_path": f"frames/g{i}.jpg", "image_path": None,
+                     "sr_label": i % 2, "material_label": None,
+                     "hs_label": None})
+    meta = tmp_path / "meta" / "modal_tactile" / "data"
+    meta.mkdir(parents=True)
+    for fn in ("train_rough.json", "test_rough.json"):
+        (meta / fn).write_text(json.dumps(anno))
+    monkeypatch.setenv("VITLENS_TACTILE_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("VITLENS_METADATA_DIR", str(tmp_path / "meta"))
+
+    rc = main(["--modality", "tactile", "--model", "ViT-Tiny-Test",
+               "--force-image-size", "224", "--train-split", "train_rough",
+               "--val-split", "test_rough", "--num-classes", "2",
+               "--batch-size", "4", "--epochs", "1", "--precision", "fp32",
+               "--logs", str(tmp_path / "logs"), "--name", "lp"])
+    assert rc == 0
+    rec = json.loads((tmp_path / "logs" / "lp" / "results.jsonl"
+                      ).read_text().splitlines()[-1])
+    assert "val/accuracy" in rec
+
+
+def test_openshape_cli(tmp_path):
+    from vitlens_tpu.cli.train_openshape import main
+
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        blob = {"xyz": rng.randn(128, 3).astype(np.float32),
+                "rgb": rng.rand(128, 3).astype(np.float32),
+                "text_feat": rng.randn(24).astype(np.float32),
+                "img_feat": rng.randn(24).astype(np.float32)}
+        np.save(tmp_path / f"obj{i}.npy", blob, allow_pickle=True)
+    rc = main(["--train-files", str(tmp_path / "*.npy"), "--tiny",
+               "--epochs", "1", "--batch-size", "2", "--npoints", "64",
+               "--out-channel", "24", "--precision", "fp32",
+               "--log-every-n-steps", "1",
+               "--logs", str(tmp_path / "logs"), "--name", "os"])
+    assert rc == 0
