@@ -1,0 +1,44 @@
+"""Utility module tests: meters, flops report, mesh helpers."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vitlens_tpu.parallel import mesh as M
+from vitlens_tpu.utils.logging import AverageMeter, ThroughputMeter
+from vitlens_tpu.utils.flops import cost_analysis, count_params
+
+
+def test_average_and_throughput_meters():
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0, n=3)
+    assert m.avg == (2.0 + 12.0) / 4
+    t = ThroughputMeter(n_chips=2)
+    t.tick_step(10)
+    sps, spsc = t.tick_step(10)
+    assert sps > 0 and abs(spsc - sps / 2) < 1e-9
+
+
+def test_cost_analysis_matmul():
+    a = jnp.ones((64, 32))
+    b = jnp.ones((32, 16))
+    stats = cost_analysis(lambda a, b: a @ b, a, b)
+    assert stats["flops"] == 2 * 64 * 32 * 16
+    assert count_params({"w": a, "b": b}) == 64 * 32 + 32 * 16
+
+
+def test_mesh_helpers():
+    devs = jax.local_devices(backend="cpu")
+    mesh = M.make_mesh(n_data=4, n_model=2, devices=devs)
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert M.local_batch_size(mesh, 32) == 8
+    batch = M.shard_batch(mesh, {"x": np.zeros((8, 3), np.float32)})
+    assert batch["x"].shape == (8, 3)
+    tree = M.replicate(mesh, {"w": np.ones((2, 2), np.float32)})
+    assert np.all(np.asarray(tree["w"]) == 1)
+    # single-process object collectives are identity
+    assert M.broadcast_object({"a": 1}) == {"a": 1}
+    assert M.all_gather_object(5) == [5]
+    assert M.init_distributed() == 0
