@@ -156,3 +156,30 @@ def test_cond_accuracy_matches_reference():
     got = M.cond_topk_correct(logits, targets, merge, 100, (1, 5))
     assert abs(got[1] * 100.0 / 32 - r1.item()) < 1e-4
     assert abs(got[5] * 100.0 / 32 - r5.item()) < 1e-4
+
+
+def test_clip_val_metrics_matches_reference():
+    """vs reference get_clip_metrics (train.py:997-1014)."""
+    import importlib.util
+    import re as _re
+
+    import torch
+
+    src = open("/root/reference/vitlens/src/training/zero_shot.py").read()
+    src = open("/root/reference/vitlens/src/training/train.py").read()
+    m = _re.search(r"def get_clip_metrics.*?return metrics", src, _re.S)
+    ns = {"torch": torch, "np": np}
+    exec(m.group(0), ns)
+    ref_fn = ns["get_clip_metrics"]
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(16, 8).astype(np.float32)
+    txt = rng.randn(16, 8).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    want = ref_fn(torch.from_numpy(img), torch.from_numpy(txt),
+                  torch.tensor(100.0))
+    got = M.clip_val_metrics(img, txt, 100.0)
+    for k, v in want.items():
+        assert abs(got[k] - float(v)) < 1e-6, k
+    assert np.isfinite(got["clip_val_loss"])

@@ -176,6 +176,34 @@ class Recall:
         }
 
 
+def clip_val_metrics(image_features: np.ndarray, text_features: np.ndarray,
+                     logit_scale: float = 100.0) -> Dict[str, float]:
+    """In-training validation metrics (reference get_clip_metrics,
+    train.py:997-1014): paired-rank mean/median + R@{1,5,10} both
+    directions, plus the symmetric contrastive val loss
+    (reference evaluate, train.py:766-874)."""
+    img = np.asarray(image_features, np.float64)
+    txt = np.asarray(text_features, np.float64)
+    lpi = logit_scale * img @ txt.T
+    out: Dict[str, float] = {}
+    gt = np.arange(len(txt))[:, None]
+    for name, logits in (("image_to_text", lpi), ("text_to_image", lpi.T)):
+        ranking = np.argsort(-logits, axis=1, kind="stable")
+        preds = np.where(ranking == gt)[1]
+        out[f"{name}_mean_rank"] = float(preds.mean() + 1)
+        out[f"{name}_median_rank"] = float(np.floor(np.median(preds)) + 1)
+        for k in (1, 5, 10):
+            out[f"{name}_R@{k}"] = float(np.mean(preds < k))
+    # symmetric CE val loss
+    def ce(l):
+        lse = l.max(axis=1) + np.log(
+            np.exp(l - l.max(axis=1, keepdims=True)).sum(axis=1))
+        return float(np.mean(lse - np.diagonal(l)))
+
+    out["clip_val_loss"] = 0.5 * (ce(lpi) + ce(lpi.T))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # multi-host merging (single-host: identity)
 # ---------------------------------------------------------------------------
