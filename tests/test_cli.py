@@ -102,6 +102,45 @@ def test_linprobe_cli(tmp_path, monkeypatch):
     assert "val/accuracy" in rec
 
 
+def test_train_cli_csv_clip(tmp_path):
+    """Classic two-tower CLIP training from a csv/tsv of (filepath, caption)
+    pairs with in-training retrieval-rank validation (reference train.py
+    evaluate + get_clip_metrics path)."""
+    from PIL import Image
+
+    from vitlens_tpu.cli.train import main
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rows = ["filepath\ttitle"]
+    for i in range(8):
+        p = imgs / f"{i}.jpg"
+        Image.fromarray((np.random.RandomState(i).rand(64, 64, 3) * 255
+                         ).astype(np.uint8)).save(p)
+        rows.append(f"{p}\ta photo number {i}")
+    data = tmp_path / "data.tsv"
+    data.write_text("\n".join(rows) + "\n")
+
+    rc = main([
+        "--modality", "image", "--model", "ViT-Tiny-Test",
+        "--force-image-size", "224", "--dataset-type", "csv",
+        "--train-data", str(data), "--val-data", str(data),
+        "--csv-separator", "\t", "--batch-size", "4", "--epochs", "1",
+        "--warmup", "1", "--precision", "fp32", "--n-tower", "2",
+        "--align-to", "clip", "--no-lock-image", "--no-lock-text",
+        "--log-every-n-steps", "1", "--logs", str(tmp_path / "logs"),
+        "--name", "csv",
+    ])
+    assert rc == 0
+    rec = json.loads((tmp_path / "logs" / "csv" / "results.jsonl"
+                      ).read_text().splitlines()[-1])
+    # in-training clip val metrics (train.py:997-1014 parity keys)
+    assert "val/data.tsv/image_to_text_R@1" in rec
+    assert "val/data.tsv/clip_val_loss" in rec
+    assert np.isfinite(rec["val/data.tsv/clip_val_loss"])
+    assert rec["val/primary"] == rec["val/data.tsv/image_to_text_R@1"]
+
+
 def test_openshape_cli(tmp_path):
     from vitlens_tpu.cli.train_openshape import main
 

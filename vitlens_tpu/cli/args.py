@@ -34,7 +34,10 @@ class TrainArgs:
     # data
     train_data: Optional[str] = None
     val_data: Optional[str] = None
-    dataset_type: str = "auto"        # auto | synthetic
+    dataset_type: str = "auto"        # auto | synthetic | csv
+    csv_separator: str = "\t"         # params.py --csv-separator
+    csv_img_key: str = "filepath"     # params.py --csv-img-key
+    csv_caption_key: str = "title"    # params.py --csv-caption-key
     batch_size: int = 32              # per-chip
     workers: int = 4
     train_num_samples: Optional[int] = None

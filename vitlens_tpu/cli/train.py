@@ -88,7 +88,11 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool):
         from vitlens_tpu.data.loader import CsvDataset
         from vitlens_tpu.data.processors import ImageProcessor, TextProcessor
 
-        return CsvDataset(spec, image_processor=ImageProcessor(),
+        size = args.force_image_size or 224
+        return CsvDataset(spec, img_key=args.csv_img_key,
+                          caption_key=args.csv_caption_key,
+                          sep=args.csv_separator,
+                          image_processor=ImageProcessor(image_size=size),
                           text_processor=TextProcessor())
     m = args.modality
     if m == "audio":
@@ -115,9 +119,11 @@ def _prep_batch(raw: Dict[str, Any], args: TrainArgs, tokenizer) -> Dict[str, An
     """Map dataset keys -> train-step keys; tokenize captions host-side."""
     batch: Dict[str, Any] = {}
     vk = MODALITY_BATCH_KEY.get(args.modality, "visual")
-    batch["visual"] = np.asarray(raw.get("visual", raw.get(vk)))
-    if args.modality == "audio" and batch["visual"].ndim == 4:
-        batch["visual"] = batch["visual"][:, 0]  # train uses 1 clip
+    vis = raw.get("visual", raw.get(vk))
+    if vis is not None:  # absent in classic-CLIP (csv) mode
+        batch["visual"] = np.asarray(vis)
+        if args.modality == "audio" and batch["visual"].ndim == 4:
+            batch["visual"] = batch["visual"][:, 0]  # train uses 1 clip
     if "image" in raw:
         batch["image"] = np.asarray(raw["image"])
     if "text" in raw:
@@ -162,6 +168,34 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
 
     results = {}
     for spec in args.val_data.split("::"):
+        if args.dataset_type == "csv":
+            # paired image-text val: contrastive val loss + rank metrics
+            # (reference evaluate + get_clip_metrics, train.py:766-874)
+            from vitlens_tpu.eval.metrics import clip_val_metrics
+
+            ds = _build_real_dataset(args, spec, train=False)
+            info = build_loader(ds, batch_size=args.batch_size, shuffle=False,
+                                num_workers=args.workers, drop_last=False)
+
+            @jax.jit
+            def enc_img(p, s, x):
+                return tri.encode_image(p, s, x, cfg, normalize=True,
+                                        compute_dtype=compute_dtype)
+
+            img_feats, txt_feats = [], []
+            for b in info.dataloader:
+                img_feats.append(np.asarray(
+                    enc_img(params, model_state, jnp.asarray(b["image"])),
+                    np.float32))
+                txt_feats.append(np.asarray(
+                    enc_txt(params, jnp.asarray(b["text"])), np.float32))
+            tf = np.concatenate(txt_feats)
+            tf /= np.maximum(np.linalg.norm(tf, axis=1, keepdims=True), 1e-12)
+            out = clip_val_metrics(np.concatenate(img_feats), tf)
+            results[spec] = out
+            logging.info(f"eval[{spec}]: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in out.items()))
+            continue
         ds = _build_real_dataset(args, spec, train=False)
         vk = MODALITY_BATCH_KEY.get(args.modality, "visual")
         metric = getattr(ds, "eval_metric", "acc")
@@ -200,13 +234,28 @@ def _dtype(args: TrainArgs):
 
 
 def _primary_metric(results: Dict[str, Dict]) -> float:
+    """Summed primary metric for save-best (reference keys summed val acc1,
+    audio_main.py:599-611)."""
     total = 0.0
     for out in results.values():
-        for key in ("accuracy", "map", "r_mean"):
+        for key in ("accuracy", "map", "r_mean", "image_to_text_R@1"):
             if key in out:
                 total += float(out[key])
                 break
     return total
+
+
+def _flatten_results(results: Dict[str, Dict]) -> Dict[str, float]:
+    """Flatten per-dataset metric dicts into writer keys (the reference logs
+    every val metric to tensorboard/wandb, train.py:861-874). File-path specs
+    (csv mode) are reduced to their basename."""
+    flat = {}
+    for spec, out in results.items():
+        name = os.path.basename(spec) if os.path.sep in spec else spec
+        for k, v in out.items():
+            if isinstance(v, (int, float)):
+                flat[f"{name}/{k}"] = float(v)
+    return flat
 
 
 def main(argv=None) -> int:
@@ -269,8 +318,10 @@ def main(argv=None) -> int:
     train_info = build_train_data(args, tokenizer, n_shards, cfg)
     if train_info is None:
         results = evaluate(args, params, model_state, cfg, tokenizer)
-        MetricsWriter(log_dir).log(
-            {k: _primary_metric({k: v}) for k, v in results.items()}, 0, "val")
+        flat = {(os.path.basename(k) if os.path.sep in k else k):
+                _primary_metric({k: v}) for k, v in results.items()}
+        flat.update(_flatten_results(results))
+        MetricsWriter(log_dir).log(flat, 0, "val")
         return 0
 
     steps_per_epoch = train_info.num_batches
@@ -340,7 +391,8 @@ def main(argv=None) -> int:
             results = evaluate(args, host_ts.params, host_ts.model_state, cfg,
                                tokenizer)
             metric = _primary_metric(results)
-            writer.log({"primary": metric}, global_step, "val")
+            writer.log({"primary": metric, **_flatten_results(results)},
+                       global_step, "val")
             C.save_best(ckpt_dir, host_ts, epoch + 1, metric)
         if (epoch + 1) % args.save_frequency == 0 or args.save_most_recent:
             C.save_checkpoint(ckpt_dir, host_ts, epoch + 1,

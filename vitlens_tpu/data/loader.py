@@ -250,6 +250,11 @@ class CsvDataset:
         with open(csv_path, newline="") as f:
             reader = _csv.DictReader(f, delimiter=sep)
             rows = list(reader)
+        if rows and (img_key not in rows[0] or caption_key not in rows[0]):
+            raise ValueError(
+                f"csv {csv_path!r} has columns {list(rows[0])} — expected "
+                f"{img_key!r} and {caption_key!r}; check --csv-separator / "
+                f"--csv-img-key / --csv-caption-key")
         self.images = [os.path.join(root, r[img_key]) for r in rows]
         self.captions = [r[caption_key] for r in rows]
         self.image_processor = image_processor
