@@ -72,3 +72,101 @@ def test_coca_generate(setup):
                                eot_token=63, seq_len=5)
     assert out.shape == (2, 6)
     assert np.all(np.asarray(out[:, 0]) == 1)
+
+
+GEN_KW = dict(sot_token_id=1, eos_token_id=63, pad_token_id=0, seq_len=8,
+              min_seq_len=1)
+
+
+def test_coca_generate_modes(setup):
+    from vitlens_tpu.models.coca import coca_generate
+
+    cfg, params, state = setup
+    images = jnp.asarray(np.random.RandomState(1).randn(2, 3, 28, 28),
+                         jnp.float32)
+    beam = coca_generate(params, state, images, cfg,
+                         generation_type="beam_search", num_beams=4,
+                         num_beam_groups=2, **GEN_KW)
+    assert beam.shape == (2, 8) and beam.dtype == jnp.int32
+    assert np.all(np.asarray(beam[:, 0]) == 1)
+    # deterministic
+    beam2 = coca_generate(params, state, images, cfg,
+                          generation_type="beam_search", num_beams=4,
+                          num_beam_groups=2, **GEN_KW)
+    assert np.array_equal(np.asarray(beam), np.asarray(beam2))
+
+    for gt, kw in (("top_p", {"top_p": 0.8}), ("top_k", {"top_k": 5})):
+        out = np.asarray(coca_generate(
+            params, state, images, cfg, generation_type=gt,
+            key=jax.random.PRNGKey(0), temperature=0.7, **kw, **GEN_KW))
+        assert out.shape == (2, 8)
+        assert np.all(out[:, 0] == 1)
+        assert np.all((out >= 0) & (out < 64))
+        # pad-only after the first EOS (reference appends pad once finished)
+        for row in out:
+            eos_pos = np.nonzero(row == 63)[0]
+            if len(eos_pos):
+                assert np.all(row[eos_pos[0] + 1:] == 0)
+
+
+def test_coca_topk1_and_beam1_match_greedy(setup):
+    """top_k=1 sampling and width-1 beam search are both argmax decoding, so
+    (until an EOS diverges the bookkeeping) they must match greedy."""
+    from vitlens_tpu.models.coca import coca_generate
+
+    cfg, params, state = setup
+    images = jnp.asarray(np.random.RandomState(2).randn(2, 3, 28, 28),
+                         jnp.float32)
+    greedy = np.asarray(coca_generate_greedy(
+        params, state, images, cfg, sot_token=1, eot_token=63, seq_len=7))
+    topk1 = np.asarray(coca_generate(
+        params, state, images, cfg, generation_type="top_k", top_k=1,
+        key=jax.random.PRNGKey(3), **GEN_KW))
+    beam1 = np.asarray(coca_generate(
+        params, state, images, cfg, generation_type="beam_search",
+        num_beams=1, num_beam_groups=1, **GEN_KW))
+    for b in range(2):
+        stop = 8
+        eos = np.nonzero(greedy[b] == 63)[0]
+        if len(eos):
+            stop = min(stop, int(eos[0]))
+        stop = min(stop, 7)  # sampler forces EOS at the final position
+        assert np.array_equal(topk1[b, :stop], greedy[b, :stop])
+        assert np.array_equal(beam1[b, :stop], greedy[b, :stop])
+
+
+def test_logit_processors_match_hf():
+    """The generate() building blocks vs the exact HuggingFace processors the
+    reference composes (coca_model.py:204-257)."""
+    import torch
+    from transformers import (MinLengthLogitsProcessor,
+                              RepetitionPenaltyLogitsProcessor,
+                              TopKLogitsWarper, TopPLogitsWarper)
+
+    from vitlens_tpu.models.coca import (_min_length_mask,
+                                         _repetition_penalty, _top_k_warp,
+                                         _top_p_warp)
+
+    rng = np.random.RandomState(0)
+    scores = rng.randn(3, 50).astype(np.float32)
+    ids = rng.randint(0, 50, (3, 6)).astype(np.int64)
+    t_scores = torch.tensor(scores)
+    t_ids = torch.tensor(ids)
+
+    ref = MinLengthLogitsProcessor(10, eos_token_id=7)(t_ids, t_scores.clone())
+    got = _min_length_mask(jnp.asarray(scores), ids.shape[1], 10, 7)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-6)
+
+    ref = RepetitionPenaltyLogitsProcessor(1.3)(t_ids, t_scores.clone())
+    valid = np.ones_like(ids, bool)
+    got = _repetition_penalty(jnp.asarray(scores), jnp.asarray(ids), valid,
+                              1.3)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-6)
+
+    ref = TopKLogitsWarper(top_k=5)(t_ids, t_scores.clone())
+    got = np.asarray(_top_k_warp(jnp.asarray(scores), 5))
+    np.testing.assert_allclose(got, ref.numpy(), rtol=1e-6)
+
+    ref = TopPLogitsWarper(top_p=0.6)(t_ids, t_scores.clone())
+    got = np.asarray(_top_p_warp(jnp.asarray(scores), 0.6))
+    np.testing.assert_allclose(got, ref.numpy(), rtol=1e-6)

@@ -316,8 +316,8 @@ def coca_loss(out, cfg: CoCaConfig, axis_name=None):
 
 def coca_generate_greedy(params, state, images, cfg: CoCaConfig,
                          sot_token: int, eot_token: int, seq_len: int = 20):
-    """Minimal greedy decoding (reference generate(), coca_model.py:175+,
-    supports beam search — greedy here covers the API surface)."""
+    """Minimal greedy decoding (reference generate(), coca_model.py:175+).
+    Full sampling/beam decoding lives in `coca_generate` below."""
     B = images.shape[0]
     image_latent, image_embs = coca_encode_image(params, images, cfg)
     out = jnp.full((B, 1), sot_token, jnp.int32)
@@ -328,4 +328,245 @@ def coca_generate_greedy(params, state, images, cfg: CoCaConfig,
             params["text_decoder"], image_embs, token_embs, cfg.multimodal)
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         out = jnp.concatenate([out, nxt[:, None]], axis=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# full generate: sampling (top_p / top_k) + grouped beam search
+# ---------------------------------------------------------------------------
+#
+# TPU-native re-design of the reference generate()/_generate_beamsearch
+# (coca_model.py:175-491, built on HuggingFace GenerationMixin pieces): the
+# torch version grows `out` one column per python-loop step (dynamic shapes).
+# Here every sequence lives in a fixed [_, seq_len] buffer and decoding is a
+# single `lax.scan` — one compiled step, static shapes, no retraces. Reading
+# the logits at the current position is exact because the decoder is causal:
+# garbage beyond `pos` cannot influence position `pos`.
+#
+# Semantics notes (intentional, documented divergences):
+#  * the reference's beam search accumulates RAW decoder logits (it skips
+#    HF's log_softmax) — we match that.
+#  * reference `num_beam_groups` uses no diversity logits processor, so its
+#    groups run identical searches; we implement groups as independent
+#    width-(num_beams/num_beam_groups) searches and take the best across
+#    groups, which is the same computation without the redundancy.
+#  * finalization follows the t5x convention: a batch entry returns its best
+#    finished hypothesis if any beam finished, else its best live beam (the
+#    HF scorer additionally tops up with live beams when fewer than
+#    num_beams hypotheses finished; with num_beam_hyps_to_keep=1 the
+#    returned sequence only differs in pathological no-finish cases).
+#  * output is always a fixed [B, seq_len] buffer padded with pad_id after
+#    EOS (the reference's fixed_output_length=True); pass
+#    fixed_output_length=False to trim trailing all-pad columns on host.
+
+
+def _decode_pos_logits(params, image_embs, tokens, pos, cfg: CoCaConfig,
+                       compute_dtype=jnp.float32):
+    """Decode a padded [N, L] buffer and return vocab logits at `pos` [N, V]."""
+    _, token_embs = cls_text_tower_apply(
+        params["text"], tokens, cfg.text, pad_id=cfg.pad_id,
+        compute_dtype=compute_dtype)
+    logits = multimodal_decoder_apply(
+        params["text_decoder"], image_embs, token_embs, cfg.multimodal)
+    return jax.lax.dynamic_slice_in_dim(logits, pos, 1, axis=1)[:, 0]
+
+
+def _min_length_mask(scores, cur_len, min_seq_len, eos_id):
+    """HF MinLengthLogitsProcessor: EOS impossible before min_seq_len."""
+    neg = jnp.full_like(scores[:, eos_id], -jnp.inf)
+    return scores.at[:, eos_id].set(
+        jnp.where(cur_len < min_seq_len, neg, scores[:, eos_id]))
+
+
+def _repetition_penalty(scores, tokens, valid, penalty):
+    """HF RepetitionPenaltyLogitsProcessor over a fixed buffer: for every
+    token already in the (valid part of the) prefix, positive scores divide
+    by `penalty`, negative multiply. Scatter of equal values per duplicate
+    index, so duplicate prefix tokens are safe."""
+    if penalty == 1.0:
+        return scores
+    rows = jnp.arange(scores.shape[0])[:, None]
+    seen = jnp.zeros(scores.shape, bool).at[rows, tokens].max(valid)
+    pen = jnp.where(scores > 0, scores / penalty, scores * penalty)
+    return jnp.where(seen, pen, scores)
+
+
+def _top_k_warp(scores, top_k: int):
+    """HF TopKLogitsWarper: everything below the k-th largest -> -inf."""
+    kth = jax.lax.top_k(scores, top_k)[0][:, -1:]
+    return jnp.where(scores < kth, -jnp.inf, scores)
+
+
+def _top_p_warp(scores, top_p: float):
+    """HF TopPLogitsWarper: drop a token when the probability mass of
+    strictly-higher-ranked tokens already covers top_p (rank 0 always
+    kept)."""
+    order = jnp.argsort(-scores, axis=-1)
+    sorted_scores = jnp.take_along_axis(scores, order, axis=-1)
+    probs = jax.nn.softmax(sorted_scores, axis=-1)
+    mass_before = jnp.cumsum(probs, axis=-1) - probs
+    remove = mass_before >= top_p
+    remove = remove.at[:, 0].set(False)
+    warped = jnp.where(remove, -jnp.inf, sorted_scores)
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(warped, inv, axis=-1)
+
+
+def _generate_sample(params, image_embs, key, cfg: CoCaConfig, *, B, seq_len,
+                     temperature, warper, min_seq_len, repetition_penalty,
+                     sot_id, eos_id, pad_id, compute_dtype):
+    """Sampling loop (reference generate() while-loop, coca_model.py:268-317):
+    finished rows append pad; the final position is forced to EOS."""
+    out0 = jnp.full((B, seq_len), pad_id, jnp.int32).at[:, 0].set(sot_id)
+
+    def step(carry, pos):
+        out, k = carry
+        k, k_s = jax.random.split(k)
+        logits = _decode_pos_logits(params, image_embs, out, pos - 1, cfg,
+                                    compute_dtype).astype(jnp.float32)
+        last = jax.lax.dynamic_slice_in_dim(out, pos - 1, 1, axis=1)[:, 0]
+        finished = (last == eos_id) | ((last == pad_id) & (pos > 1))
+        valid = jnp.arange(seq_len)[None, :] < pos
+        logits = _min_length_mask(logits, pos, min_seq_len, eos_id)
+        logits = _repetition_penalty(logits, out, valid, repetition_penalty)
+        logits = warper(logits)
+        sample = jax.random.categorical(k_s, logits / temperature, axis=-1)
+        sample = jnp.where(pos + 1 == seq_len, eos_id, sample)
+        nxt = jnp.where(finished, pad_id, sample).astype(jnp.int32)
+        out = jax.lax.dynamic_update_slice_in_dim(out, nxt[:, None], pos,
+                                                  axis=1)
+        return (out, k), None
+
+    (out, _), _ = jax.lax.scan(step, (out0, key), jnp.arange(1, seq_len))
+    return out
+
+
+def _generate_beam(params, image_embs, cfg: CoCaConfig, *, B, seq_len,
+                   n_beams, min_seq_len, repetition_penalty, sot_id, eos_id,
+                   pad_id, compute_dtype):
+    """Static-shape beam search (reference _generate_beamsearch,
+    coca_model.py:322-491). image_embs is already beam-expanded
+    [B*S, Ni, W]. Scores accumulate raw logits (reference quirk); finished
+    hypotheses are length-normalized (HF length_penalty=1.0)."""
+    S = n_beams
+    NEG = jnp.float32(-1e9)
+    live0 = jnp.full((B, S, seq_len), pad_id, jnp.int32).at[:, :, 0].set(sot_id)
+    lscore0 = jnp.full((B, S), NEG).at[:, 0].set(0.0)
+    fin0 = live0
+    fscore0 = jnp.full((B, S), -jnp.inf)
+
+    def step(carry, pos):
+        live, lscore, fin, fscore = carry
+        logits = _decode_pos_logits(
+            params, image_embs, live.reshape(B * S, seq_len), pos - 1, cfg,
+            compute_dtype).astype(jnp.float32)
+        valid = jnp.arange(seq_len)[None, :] < pos
+        logits = _min_length_mask(logits, pos, min_seq_len, eos_id)
+        logits = _repetition_penalty(
+            logits, live.reshape(B * S, seq_len),
+            jnp.broadcast_to(valid, (B * S, seq_len)), repetition_penalty)
+        V = logits.shape[-1]
+        cand = lscore[:, :, None] + logits.reshape(B, S, V)  # [B, S, V]
+        # 2S candidates so S survive even if S end in EOS (HF 2*group_size)
+        top_sc, top_ix = jax.lax.top_k(cand.reshape(B, S * V), 2 * S)
+        src_beam, tok = top_ix // V, (top_ix % V).astype(jnp.int32)
+        seqs = jnp.take_along_axis(live, src_beam[:, :, None], axis=1)
+        seqs = jax.lax.dynamic_update_slice_in_dim(
+            seqs, tok[:, :, None], pos, axis=2)  # [B, 2S, L]
+        is_eos = tok == eos_id
+        # finished pool: normalize by hypothesis length (= pos tokens before
+        # EOS, matching HF add() on the pre-EOS input_ids)
+        new_f = jnp.where(is_eos, top_sc / pos.astype(jnp.float32), -jnp.inf)
+        # keep EOS out of the stored finished sequence (HF stores the prefix)
+        f_seqs = jnp.where(is_eos[:, :, None],
+                           jax.lax.dynamic_update_slice_in_dim(
+                               seqs, jnp.full((B, 2 * S, 1), pad_id,
+                                              jnp.int32), pos, axis=2),
+                           seqs)
+        all_f = jnp.concatenate([fscore, new_f], axis=1)       # [B, 3S]
+        all_fs = jnp.concatenate([fin, f_seqs], axis=1)
+        f_sc, f_ix = jax.lax.top_k(all_f, S)
+        fin = jnp.take_along_axis(all_fs, f_ix[:, :, None], axis=1)
+        fscore = f_sc
+        # live pool: best S non-EOS candidates
+        live_sc = jnp.where(is_eos, -jnp.inf, top_sc)
+        l_sc, l_ix = jax.lax.top_k(live_sc, S)
+        live = jnp.take_along_axis(seqs, l_ix[:, :, None], axis=1)
+        lscore = jnp.maximum(l_sc, NEG)  # -inf + logit stays ordered
+        return (live, lscore, fin, fscore), None
+
+    (live, lscore, fin, fscore), _ = jax.lax.scan(
+        step, (live0, lscore0, fin0, fscore0), jnp.arange(1, seq_len))
+    # finalize: best finished if any beam finished, else best live
+    # (normalized by full length, HF finalize on non-done hypotheses)
+    any_fin = jnp.isfinite(fscore[:, 0])
+    live_norm = lscore / float(seq_len)
+    best_live = jnp.take_along_axis(
+        live, jnp.argmax(live_norm, axis=1)[:, None, None], axis=1)[:, 0]
+    best_fin = fin[:, 0]
+    return jnp.where(any_fin[:, None], best_fin, best_live)
+
+
+def coca_generate(params, state, images, cfg: CoCaConfig, *, key=None,
+                  seq_len: int = 30, temperature: float = 1.0,
+                  generation_type: str = "beam_search", top_p: float = 0.1,
+                  top_k: int = 1, pad_token_id: Optional[int] = None,
+                  eos_token_id: int = 49407, sot_token_id: int = 49406,
+                  num_beams: int = 6, num_beam_groups: int = 3,
+                  min_seq_len: int = 5, repetition_penalty: float = 1.0,
+                  fixed_output_length: bool = True,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Caption generation (reference generate(), coca_model.py:175-320).
+
+    generation_type: "beam_search" | "top_p" | "top_k". Returns int32
+    [B, seq_len] (pad-filled after EOS); fixed_output_length=False trims
+    trailing all-pad columns on host. `key` is required for the sampling
+    modes (explicit PRNG instead of torch global state)."""
+    assert seq_len > min_seq_len, "seq_len must be larger than min_seq_len"
+    pad_id = cfg.pad_id if pad_token_id is None else pad_token_id
+    B = images.shape[0]
+    _, image_embs = coca_encode_image(params, images, cfg, compute_dtype)
+
+    if generation_type == "beam_search":
+        if num_beams % num_beam_groups:
+            raise ValueError("num_beams must be divisible by num_beam_groups")
+        sub = num_beams // num_beam_groups
+        # groups are independent searches over the same image (see module
+        # note); fold groups into the batch, pick the best group afterwards
+        G = num_beam_groups
+        embs = jnp.repeat(image_embs, G * sub, axis=0)  # [B*G*sub, Ni, W]
+        out = jax.jit(
+            lambda p, e: _generate_beam(
+                p, e, cfg, B=B * G, seq_len=seq_len, n_beams=sub,
+                min_seq_len=min_seq_len,
+                repetition_penalty=repetition_penalty, sot_id=sot_token_id,
+                eos_id=eos_token_id, pad_id=pad_id,
+                compute_dtype=compute_dtype)
+        )(params, embs)  # [B*G, L]
+        out = out.reshape(B, G, seq_len)[:, 0]  # groups identical; take 0
+    elif generation_type in ("top_p", "top_k"):
+        if key is None:
+            raise ValueError(f"{generation_type} sampling needs a PRNG key")
+        warper = ((lambda s: _top_p_warp(s, top_p))
+                  if generation_type == "top_p"
+                  else (lambda s: _top_k_warp(s, top_k)))
+        out = jax.jit(
+            lambda p, e, k: _generate_sample(
+                p, e, k, cfg, B=B, seq_len=seq_len, temperature=temperature,
+                warper=warper, min_seq_len=min_seq_len,
+                repetition_penalty=repetition_penalty, sot_id=sot_token_id,
+                eos_id=eos_token_id, pad_id=pad_id,
+                compute_dtype=compute_dtype)
+        )(params, image_embs, key)
+    else:
+        raise ValueError(
+            "generation_type has to be one of | beam_search | top_p | top_k |")
+
+    if not fixed_output_length:
+        import numpy as np
+
+        arr = np.asarray(out)
+        used = (arr != pad_id).any(axis=0)
+        last = int(np.max(np.nonzero(used)[0])) + 1 if used.any() else 1
+        return jnp.asarray(arr[:, :last])
     return out
