@@ -29,6 +29,28 @@ def test_cost_analysis_matmul():
     assert count_params({"w": a, "b": b}) == 64 * 32 + 32 * 16
 
 
+def test_remat_variants_equivalent():
+    """remat=False/True/'dots' compute identical values and grads — the
+    checkpoint policy only changes what is stored vs recomputed."""
+    from vitlens_tpu.models import layers as L
+
+    p = L.transformer_init(jax.random.PRNGKey(0), 16, 2, mlp_ratio=2.0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 16), jnp.float32)
+
+    def run(remat):
+        def loss(params, x):
+            return jnp.sum(L.transformer(x, params, heads=2, act=L.gelu,
+                                         remat=remat) ** 2)
+        return jax.jit(jax.value_and_grad(loss))(p, x)
+
+    v0, g0 = run(False)
+    for mode in (True, "dots"):
+        v, g = run(mode)
+        np.testing.assert_allclose(float(v), float(v0), rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5), g, g0)
+
+
 def test_mesh_helpers():
     devs = jax.local_devices(backend="cpu")
     mesh = M.make_mesh(n_data=4, n_model=2, devices=devs)

@@ -55,6 +55,11 @@ class TrainArgs:
     accum_freq: int = 1
     precision: str = "bf16"           # bf16 | fp32 | pure_bf16
     grad_checkpointing: bool = False
+    # remat variant when --grad-checkpointing is on: "full" recomputes the
+    # whole block (least HBM; the measured best on v5e-1 for ViT-L recipes),
+    # "dots" saves matmul outputs and recomputes only elementwise work
+    # (more HBM, less recompute — for larger-HBM parts)
+    remat_policy: str = "full"
 
     # locking (params.py --lock-image/--lock-text/--lock-visual + unlock-*)
     lock_image: bool = True
@@ -112,5 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse_args(argv=None) -> TrainArgs:
-    ns = build_parser().parse_args(argv)
+    parser = build_parser()
+    ns = parser.parse_args(argv)
+    if ns.remat_policy not in ("full", "dots"):
+        parser.error(f"--remat-policy must be 'full' or 'dots', "
+                     f"got {ns.remat_policy!r}")
     return TrainArgs(**vars(ns))

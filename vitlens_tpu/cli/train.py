@@ -339,7 +339,9 @@ def main(argv=None) -> int:
         n_tower=args.n_tower, align_to=args.align_to,
         contra_loss_type=args.contra_loss_type, local_loss=args.local_loss,
         sim_thres=args.sim_thres, accum_freq=args.accum_freq,
-        compute_dtype=_dtype(args), remat=args.grad_checkpointing,
+        compute_dtype=_dtype(args),
+        remat=(args.remat_policy if args.grad_checkpointing
+               and args.remat_policy != "full" else args.grad_checkpointing),
         sync_bn=args.use_bn_sync and mesh is not None,
     )
     step = make_train_step(cfg, tx, mask, sc, mesh=mesh, donate=True)

@@ -234,7 +234,12 @@ class SyntheticDataset:
         return self.n
 
     def __getitem__(self, idx):
-        return dict(self.sample)
+        # roll the fixed sample per index: contrastive losses over identical
+        # batch rows are exactly 2*ln(B)/... with zero gradient by symmetry,
+        # which makes training smokes meaningless. A roll keeps the
+        # no-per-item-RNG throughput-test property while decorrelating rows.
+        shift = idx % 17 + 1
+        return {k: np.roll(v, shift, axis=0) for k, v in self.sample.items()}
 
 
 class CsvDataset:

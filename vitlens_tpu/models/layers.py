@@ -215,6 +215,15 @@ def transformer(
         return y, None
 
     if remat:
-        body = jax.checkpoint(body)
+        # remat may carry a variant tag: "dots" uses the dots-saveable
+        # policy — matmul outputs (qkv/out/mlp, the FLOPs) are stored and
+        # only the cheap elementwise/LN/softmax work is recomputed (more HBM
+        # than full remat, less recompute); "nocse" disables the CSE guard,
+        # which is safe and recommended inside a lax.scan body.
+        tag = str(remat)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if "dots" in tag else None)
+        body = jax.checkpoint(body, policy=policy,
+                              prevent_cse="nocse" not in tag)
     out, _ = jax.lax.scan(body, x, blocks)
     return out

@@ -143,7 +143,7 @@ class StepConfig:
     sim_thres: float = 0.9
     accum_freq: int = 1
     compute_dtype: Any = jnp.bfloat16
-    remat: bool = False
+    remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
     sync_bn: bool = True
 
 
