@@ -141,6 +141,19 @@ def test_train_cli_csv_clip(tmp_path):
     assert rec["val/primary"] == rec["val/data.tsv/image_to_text_R@1"]
 
 
+def test_visual_stat_flops_cli(tmp_path, capsys):
+    """--visual-stat-flops prints stats and exits 0 (reference
+    audio_tri_main.py:349-371)."""
+    from vitlens_tpu.cli.train import main
+
+    rc = main(["--modality", "eeg", "--model", "ViT-Tiny-Test",
+               "--visual-stat-flops", "--precision", "fp32",
+               "--logs", str(tmp_path), "--name", "fl"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["params_M"] > 0 and rec["gflops_per_sample"] > 0
+
+
 def test_openshape_cli(tmp_path):
     from vitlens_tpu.cli.train_openshape import main
 

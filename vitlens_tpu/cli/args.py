@@ -55,6 +55,9 @@ class TrainArgs:
     accum_freq: int = 1
     precision: str = "bf16"           # bf16 | fp32 | pure_bf16
     grad_checkpointing: bool = False
+    # print visual-tower params + FLOPs and exit (reference
+    # --visual_stat_flops, audio_tri_main.py:349-371)
+    visual_stat_flops: bool = False
     # remat variant when --grad-checkpointing is on: "full" recomputes the
     # whole block (least HBM; the measured best on v5e-1 for ViT-L recipes),
     # "dots" saves matmul outputs and recomputes only elementwise work

@@ -315,6 +315,28 @@ def main(argv=None) -> int:
     )
     log_param_census(params, mask)
 
+    if args.visual_stat_flops:
+        # flops-stat-and-exit smoke (reference --visual_stat_flops,
+        # audio_tri_main.py:349-371 counts ptflops over model.visual)
+        import json as _json
+
+        from vitlens_tpu.utils.flops import model_flops_report
+
+        if args.modality == "image":
+            hw = cfg.vision.image_size
+            shape = (3, hw, hw)
+        else:
+            shape = _synthetic_spec(args, cfg)["visual"][0]
+        x = jnp.zeros((1,) + tuple(shape), jnp.float32)
+        rep = model_flops_report(cfg, x, params, model_state,
+                                 compute_dtype=_dtype(args))
+        out = {"params_M": round(rep["params_total"] / 1e6, 2),
+               "gflops_per_sample": round(rep.get("gflops_per_sample", -1.0),
+                                          2)}
+        logging.info(f"visual tower stats: {out}")
+        print(_json.dumps(out))
+        return 0
+
     train_info = build_train_data(args, tokenizer, n_shards, cfg)
     if train_info is None:
         results = evaluate(args, params, model_state, cfg, tokenizer)

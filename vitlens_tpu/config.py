@@ -377,6 +377,15 @@ def make_model_config(
                               **dict(tower_overrides))
     if force_image_size is not None:
         tower = replace(tower, arch=vision)
+        # a cross-attending perceiver keeps its canonical latent count
+        # regardless of input resolution (the reference's explicit 256), but
+        # identity/transformer perceivers pass tokens through — their
+        # "latent" count (which sizes the trunk pos-emb) must track the
+        # forced grid or the pos-emb add breaks
+        if tower.perceiver is not None and (tower.perceiver.as_identity
+                                            or tower.perceiver.as_transformer):
+            tower = replace(tower, perceiver=replace(
+                tower.perceiver, num_latents=tower.adapter_num_tokens))
     return ModelConfig(
         name=model,
         embed_dim=arch_entry["embed_dim"],

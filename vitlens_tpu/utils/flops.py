@@ -35,9 +35,15 @@ def count_params(params) -> int:
 
 
 def model_flops_report(model_cfg, modality_input, params, state,
-                       compute_dtype=None) -> Dict[str, Any]:
+                       compute_dtype=None,
+                       scan_corrected: bool = True) -> Dict[str, Any]:
     """FLOPs for one encode_visual forward (the reference counts the visual
-    tower: ptflops over model.visual)."""
+    tower: ptflops over model.visual).
+
+    HloCostAnalysis counts a `lax.scan` body ONCE, so the N-layer scanned
+    trunk is undercounted; scan_corrected adds (layers-1) x one-resblock
+    flops (exact for the trunk, the dominant term — adapter-internal scans,
+    if any, remain counted once)."""
     import jax.numpy as jnp
 
     from vitlens_tpu.models import tri
@@ -51,6 +57,17 @@ def model_flops_report(model_cfg, modality_input, params, state,
     stats = cost_analysis(fwd, params, state, modality_input)
     stats["params_total"] = count_params(params["visual"])
     batch = modality_input.shape[0]
+    if scan_corrected and stats["flops"] > 0:
+        from vitlens_tpu.models import layers as L
+
+        arch = model_cfg.tower.arch
+        lat = jnp.zeros((batch, model_cfg.tower.num_tokens + 1, arch.width),
+                        dt)
+        one = jax.tree.map(lambda t: t[0],
+                           params["visual"]["trunk"]["blocks"])
+        per = cost_analysis(
+            lambda h: L.resblock(h, one, arch.heads, L.gelu), lat)["flops"]
+        stats["flops"] += (arch.layers - 1) * per
     if stats["flops"] > 0:
         stats["gflops_per_sample"] = stats["flops"] / batch / 1e9
     return stats
