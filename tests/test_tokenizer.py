@@ -26,8 +26,13 @@ def _ref_tokenizer():
     import sys, types, html
 
     if "ftfy" not in sys.modules:
+        from vitlens_tpu.text.tokenizer import _fix_mojibake
+
         m = types.ModuleType("ftfy")
-        m.fix_text = lambda s: html.unescape(html.unescape(s)).strip()
+        # emulate real ftfy the same way the package under test approximates
+        # it, so token-exact parity holds on mojibake inputs too
+        m.fix_text = lambda s: html.unescape(
+            html.unescape(_fix_mojibake(s))).strip()
         sys.modules["ftfy"] = m
     tk = ref_oracle.load("open_clip.tokenizer")
     return tk
@@ -53,3 +58,21 @@ def test_roundtrip_decode():
     ours = get_tokenizer()
     ids = ours.encode("a photo of a dog")
     assert ours.decode(ids).strip() == "a photo of a dog"
+
+
+def test_mojibake_repair():
+    """_basic_clean approximates ftfy.fix_text's main repair: UTF-8 read as
+    cp1252 (reference tokenizer.py:67-70 runs ftfy before BPE)."""
+    from vitlens_tpu.text.tokenizer import _basic_clean
+
+    assert _basic_clean("cafÃ©") == "café"
+    assert _basic_clean("donâ€™t stop") == "don’t stop"
+    # nested (double-encoded) mojibake
+    assert _basic_clean("cafÃƒÂ©") == "café"
+    # legitimate accents must be left alone (no shrink possible)
+    assert _basic_clean("Ãrsula lives in Münster") == "Ãrsula lives in Münster"
+    assert _basic_clean("plain ascii") == "plain ascii"
+    # tokenization of mojibake == tokenization of the clean text
+    ours = get_tokenizer()
+    np.testing.assert_array_equal(ours(["a cafÃ© photo"]),
+                                  ours(["a café photo"]))

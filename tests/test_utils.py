@@ -51,6 +51,21 @@ def test_remat_variants_equivalent():
             np.asarray(a), np.asarray(b), atol=1e-5), g, g0)
 
 
+def test_force_image_size_identity_perceiver():
+    """Identity/transformer perceivers must track the forced grid (their
+    token count sizes the trunk pos-emb); cross-attending perceivers keep
+    their canonical latent count (reference keeps explicit 256)."""
+    from vitlens_tpu.config import make_model_config
+
+    depth = make_model_config("ViT-Tiny-Test", "depth", force_image_size=224)
+    assert depth.tower.perceiver.as_identity
+    assert depth.tower.num_tokens == depth.tower.adapter_num_tokens == 256
+    audio = make_model_config("ViT-Tiny-Test", "audio", force_image_size=224)
+    canonical = make_model_config("ViT-Tiny-Test", "audio")
+    assert (audio.tower.perceiver.num_latents
+            == canonical.tower.perceiver.num_latents)
+
+
 def test_mesh_helpers():
     devs = jax.local_devices(backend="cpu")
     mesh = M.make_mesh(n_data=4, n_model=2, devices=devs)

@@ -72,10 +72,38 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+# characters that appear when UTF-8 multi-byte sequences are mis-decoded as
+# cp1252/latin-1 — the mojibake class ftfy most commonly repairs
+_MOJIBAKE_HINTS = frozenset("ÃÂâ€šžŸ")
+
+
+def _fix_mojibake(text: str) -> str:
+    """The core ftfy.fix_text repair: UTF-8 bytes that were decoded as
+    cp1252/latin-1 ("cafÃ©" -> "café", "donâ€™t" -> "don’t"). Applied up to
+    3x (mojibake nests); a candidate is accepted only when the re-decode
+    succeeds AND strictly shrinks the text — a genuine multi-byte UTF-8
+    sequence always does, so legitimate accented text is left alone."""
+    for _ in range(3):
+        if not any(c in _MOJIBAKE_HINTS for c in text):
+            return text
+        for enc in ("cp1252", "latin-1"):
+            try:
+                fixed = text.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if len(fixed) < len(text):
+                text = fixed
+                break
+        else:
+            return text
+    return text
+
+
 def _basic_clean(text: str) -> str:
-    # ftfy.fix_text in the reference; double html-unescape covers the common
-    # mojibake-free path (ftfy is not in this image).
-    return html.unescape(html.unescape(text)).strip()
+    # ftfy.fix_text in the reference (tokenizer.py:67-70); the mojibake
+    # repair above + double html-unescape covers its common fixes (ftfy
+    # itself is not in this image).
+    return html.unescape(html.unescape(_fix_mojibake(text))).strip()
 
 
 class SimpleTokenizer:
