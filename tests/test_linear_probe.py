@@ -83,3 +83,46 @@ def test_linear_probe_with_vit_proj():
     logits, _ = linear_probe_apply(params, state, x, tower,
                                    enable_vit_proj=True)
     assert logits.shape == (2, 3)
+
+
+def test_lars_matches_reference_optimizer():
+    """optax.lars configured as in the linprobe CLI == the reference MoCo-v3
+    LARS (training/optimizer.py:14-60): wd + trust scaling only for >1-D
+    params, momentum 0.9, trust coefficient 0.001."""
+    import importlib.util
+
+    import optax
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_optimizer", "/root/reference/vitlens/src/training/optimizer.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(0)
+    shapes = [(8, 4), (4,), (6, 3), (3,)]
+    init = [rng.randn(*s).astype(np.float32) for s in shapes]
+    grads = [[rng.randn(*s).astype(np.float32) for s in shapes]
+             for _ in range(5)]
+
+    tp = [torch.nn.Parameter(torch.tensor(a)) for a in init]
+    ref_opt = mod.LARS(tp, lr=0.1, weight_decay=0.01)
+    for g in grads:
+        for p, gg in zip(tp, g):
+            p.grad = torch.tensor(gg)
+        ref_opt.step()
+
+    params = {f"p{i}": jnp.asarray(a) for i, a in enumerate(init)}
+    nd_mask = jax.tree.map(lambda p: p.ndim > 1, params)
+    tx = optax.lars(0.1, weight_decay=0.01, weight_decay_mask=nd_mask,
+                    trust_coefficient=0.001, trust_ratio_mask=nd_mask,
+                    momentum=0.9)
+    st = tx.init(params)
+    for g in grads:
+        gt = {f"p{i}": jnp.asarray(a) for i, a in enumerate(g)}
+        upd, st = tx.update(gt, st, params)
+        params = optax.apply_updates(params, upd)
+
+    for i, p in enumerate(tp):
+        np.testing.assert_allclose(np.asarray(params[f"p{i}"]),
+                                   p.detach().numpy(), rtol=1e-5, atol=1e-6)

@@ -1,7 +1,8 @@
 """Linear-probe training driver.
 
 Reference: training/linear_probe/linprobe_main.py (504 LoC): frozen Lens
-backbone + trainable head, AdamW on the head only, per-epoch accuracy eval.
+backbone + trainable head, LARS on the head only (MoCo-v3 variant,
+linprobe_main.py:283), per-epoch accuracy eval.
 
   python -m vitlens_tpu.cli.train_linprobe --modality tactile \
       --train-split train_rough --val-split test_rough \
@@ -50,6 +51,9 @@ def build_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--opt", default="lars", choices=["lars", "adamw"],
+                   help="LARS is the reference linprobe optimizer "
+                        "(linprobe_main.py:283, MoCo-v3 variant)")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--logs", default="./logs")
     p.add_argument("--name", default=None)
@@ -109,7 +113,15 @@ def main(argv=None) -> int:
     total_steps = info.num_batches * args.epochs
     sched = get_schedule("cosine", args.lr, args.warmup, total_steps)
     mask = lp_trainable_mask(params)
-    tx = optax.adamw(sched, weight_decay=args.wd)
+    if args.opt == "lars":
+        # reference linprobe optimizer (linprobe_main.py:283; MoCo-v3 LARS:
+        # no trust scaling / weight decay for <=1-D params)
+        nd_mask = jax.tree.map(lambda p: p.ndim > 1, params)
+        tx = optax.lars(sched, weight_decay=args.wd,
+                        weight_decay_mask=nd_mask, trust_coefficient=0.001,
+                        trust_ratio_mask=nd_mask, momentum=0.9)
+    else:
+        tx = optax.adamw(sched, weight_decay=args.wd)
     opt = tx.init(params)
 
     @jax.jit
