@@ -141,6 +141,37 @@ def test_train_cli_csv_clip(tmp_path):
     assert rec["val/primary"] == rec["val/data.tsv/image_to_text_R@1"]
 
 
+def test_tower_override_flags():
+    """Per-modality hyperparameter flags (reference params.py:645-935) graft
+    onto the tower config; pc trans_dim keeps the perceiver input in sync."""
+    from vitlens_tpu.cli.args import parse_args
+    from vitlens_tpu.cli.train import _apply_tower_overrides
+    from vitlens_tpu.config import make_model_config
+
+    args = parse_args([
+        "--modality", "audio", "--model", "ViT-Tiny-Test",
+        "--audio-target-length", "204", "--audio-clip-duration", "2.0",
+        "--perceiver-depth", "3",
+    ])
+    cfg = _apply_tower_overrides(
+        make_model_config(args.model, args.modality), args)
+    assert cfg.tower.audio.target_length == 204
+    assert cfg.tower.audio.clip_duration == 2.0
+    assert cfg.tower.perceiver.depth == 3
+
+    args = parse_args(["--modality", "pc", "--model", "ViT-Tiny-Test",
+                       "--pc-trans-dim", "256", "--pc-tokenizer", "pnsa"])
+    cfg = _apply_tower_overrides(make_model_config(args.model, "pc"), args)
+    assert cfg.tower.point.trans_dim == 256
+    assert cfg.tower.point.tokenizer == "pnsa"
+    assert cfg.tower.perceiver.input_dim == 256
+
+    # no flags -> preset untouched
+    args = parse_args(["--modality", "audio", "--model", "ViT-Tiny-Test"])
+    base = make_model_config(args.model, "audio")
+    assert _apply_tower_overrides(base, args) == base
+
+
 def test_visual_stat_flops_cli(tmp_path, capsys):
     """--visual-stat-flops prints stats and exits 0 (reference
     audio_tri_main.py:349-371)."""

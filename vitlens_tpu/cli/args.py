@@ -91,6 +91,39 @@ class TrainArgs:
     n_devices: Optional[int] = None   # default all
     use_bn_sync: bool = True
 
+    # per-modality model hyperparameters (reference params.py:645-935
+    # audio/pc/eeg/perceiver sections); None = keep the vitlensL preset.
+    # audio tokenizer geometry (--audio_* in the reference; the published
+    # L-2sec variant uses clip_duration 2.0 / target_length 204)
+    audio_target_length: Optional[int] = None
+    audio_mel_bins: Optional[int] = None
+    audio_fstride: Optional[int] = None
+    audio_tstride: Optional[int] = None
+    audio_clip_duration: Optional[float] = None
+    audio_sampling_rate: Optional[int] = None
+    # point-cloud tokenizer (--pc_* / --npoints)
+    pc_tokenizer: Optional[str] = None   # pointbert | pnsa
+    pc_npoints: Optional[int] = None
+    pc_num_group: Optional[int] = None
+    pc_group_size: Optional[int] = None
+    pc_trans_dim: Optional[int] = None
+    pc_encoder_dims: Optional[int] = None
+    # EEG tokenizer
+    eeg_chans: Optional[int] = None
+    eeg_time_len: Optional[int] = None
+    # perceiver Lens (--perceiver_*)
+    perceiver_depth: Optional[int] = None
+    perceiver_input_dim: Optional[int] = None  # --perceiver_input_chan
+    perceiver_num_latents: Optional[int] = None
+    perceiver_latent_dim: Optional[int] = None
+    perceiver_cross_heads: Optional[int] = None
+    perceiver_latent_heads: Optional[int] = None
+    perceiver_cross_dim_head: Optional[int] = None
+    perceiver_latent_dim_head: Optional[int] = None
+    perceiver_self_per_cross_attn: Optional[int] = None
+    perceiver_as_identity: Optional[bool] = None
+    perceiver_as_transformer: Optional[bool] = None
+
 
 def _add_bool(p, name, default, help=""):
     dest = name.replace("-", "_")
@@ -115,6 +148,8 @@ def build_parser() -> argparse.ArgumentParser:
                 typ = int
             elif f.type in ("Optional[float]",):
                 typ = float
+            elif f.type in ("Optional[bool]",):
+                typ = lambda s: s.lower() in ("1", "true", "yes")
             p.add_argument(f"--{name}", type=typ, default=f.default)
     return p
 

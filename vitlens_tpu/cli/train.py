@@ -228,6 +228,38 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
     return results
 
 
+def _apply_tower_overrides(cfg, args: TrainArgs):
+    """Per-modality hyperparameter flags (reference params.py:645-935
+    audio/pc/eeg/perceiver sections). A flag left at None keeps the vitlensL
+    preset; set flags are grafted onto the tower's sub-configs."""
+    import dataclasses
+    from dataclasses import replace as _r
+
+    tower = cfg.tower
+    changed = {}
+    for prefix, attr in (("audio", "audio"), ("pc", "point"),
+                         ("eeg", "eeg"), ("perceiver", "perceiver")):
+        sub = getattr(tower, attr)
+        if sub is None:
+            continue
+        upd = {}
+        for f in dataclasses.fields(sub):
+            v = getattr(args, f"{prefix}_{f.name}", None)
+            if v is not None:
+                upd[f.name] = v
+        if upd:
+            changed[attr] = _r(sub, **upd)
+    # the pc preset derives the perceiver's input dim from the tokenizer's
+    # trans_dim — keep them in sync unless the user pinned it explicitly
+    if (args.pc_trans_dim is not None and args.perceiver_input_dim is None
+            and tower.perceiver is not None):
+        pcv = changed.get("perceiver", tower.perceiver)
+        changed["perceiver"] = _r(pcv, input_dim=args.pc_trans_dim)
+    if changed:
+        cfg = _r(cfg, tower=_r(tower, **changed))
+    return cfg
+
+
 def _dtype(args: TrainArgs):
     return {"bf16": jnp.bfloat16, "pure_bf16": jnp.bfloat16,
             "fp32": jnp.float32}[args.precision]
@@ -283,6 +315,7 @@ def main(argv=None) -> int:
         force_image_size=args.force_image_size,
         skip_first_n_layers=args.skip_trans_first_n_layers,
     )
+    cfg = _apply_tower_overrides(cfg, args)
     params, model_state = tri.tri_model_init(jax.random.PRNGKey(args.seed), cfg)
     if args.pretrained:
         from vitlens_tpu.factory import _merge
