@@ -73,3 +73,34 @@ def test_resume_full_train_state(tmp_path):
     assert int(part.step) == 0
     np.testing.assert_allclose(np.asarray(part.params["w"]),
                                np.asarray(ts.params["w"]))
+
+
+def test_async_saver_orders_and_propagates(tmp_path):
+    """AsyncSaver: writes execute in submit order on one worker; a failed
+    save surfaces at wait()/close() instead of vanishing."""
+    import pytest
+
+    from vitlens_tpu.train import checkpoint as C
+
+    order = []
+    s = C.AsyncSaver()
+    s.submit(lambda: order.append(1))
+    s.submit(lambda: order.append(2))
+    s.submit(lambda: order.append(3))
+    s.wait()
+    assert order == [1, 2, 3]
+
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    s.submit(lambda: C.save_checkpoint(str(tmp_path), tree, 1))
+    s.wait()
+    got = C.load_checkpoint(str(tmp_path / "epoch_1"),
+                            {"w": np.zeros((2, 3), np.float32)})
+    np.testing.assert_array_equal(np.asarray(got["w"]), tree["w"])
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    s.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        s.wait()
+    s.close()

@@ -416,6 +416,7 @@ def main(argv=None) -> int:
         ts = replicate(mesh, ts)
     writer = MetricsWriter(log_dir, use_tensorboard="tensorboard" in args.report_to)
     meter = ThroughputMeter(n_chips=n_shards)
+    saver = C.AsyncSaver()
     sync_stop = None
     if args.remote_sync:
         sync_stop = C.start_remote_sync(ckpt_dir, args.remote_sync,
@@ -442,7 +443,9 @@ def main(argv=None) -> int:
                 logging.info(
                     f"epoch {epoch} step {global_step}: "
                     + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
-        # end epoch: eval + ckpt
+        # end epoch: eval + ckpt (host snapshot is synchronous — it decouples
+        # from donated device buffers — the disk write happens on the saver
+        # worker so the next epoch starts immediately)
         host_ts = jax.tree.map(np.asarray, ts)
         if args.val_data and (epoch + 1) % args.val_frequency == 0:
             results = evaluate(args, host_ts.params, host_ts.model_state, cfg,
@@ -450,10 +453,13 @@ def main(argv=None) -> int:
             metric = _primary_metric(results)
             writer.log({"primary": metric, **_flatten_results(results)},
                        global_step, "val")
-            C.save_best(ckpt_dir, host_ts, epoch + 1, metric)
+            saver.submit(lambda s=host_ts, e=epoch + 1, m=metric:
+                         C.save_best(ckpt_dir, s, e, m))
         if (epoch + 1) % args.save_frequency == 0 or args.save_most_recent:
-            C.save_checkpoint(ckpt_dir, host_ts, epoch + 1,
-                              is_latest=args.save_most_recent)
+            saver.submit(lambda s=host_ts, e=epoch + 1:
+                         C.save_checkpoint(ckpt_dir, s, e,
+                                           is_latest=args.save_most_recent))
+    saver.close()  # drain pending writes; re-raises a failed save
     if sync_stop is not None:
         sync_stop.set()
     return 0

@@ -194,6 +194,67 @@ def jnp_like(ref_leaf, value):
 
 
 # ---------------------------------------------------------------------------
+# async saving
+# ---------------------------------------------------------------------------
+
+
+class AsyncSaver:
+    """Overlap checkpoint disk writes with training.
+
+    The device->host fetch is done by the caller (cheap relative to the
+    write, and it decouples the snapshot from donated device buffers); the
+    orbax write + latest/best bookkeeping run on ONE background worker, so a
+    slow filesystem never stalls a train step and writes stay strictly
+    ordered (epoch_N before epoch_N+1, best.json reads see prior writes).
+
+    The reference saves synchronously inside its epoch loop
+    (audio_main.py:564-611); on TPU a multi-GB orbax write would otherwise
+    idle the chip for seconds every epoch. `wait()` drains the queue and
+    re-raises the first worker error (a silently dropped checkpoint must not
+    look like a saved one)."""
+
+    def __init__(self):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 - reported at wait()
+                if self._err is None:
+                    self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._q.put(fn)
+
+    def wait(self) -> None:
+        """Block until every submitted save has finished."""
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._q.join()
+
+
+# ---------------------------------------------------------------------------
 # remote sync (reference file_utils.py:11-60)
 # ---------------------------------------------------------------------------
 
