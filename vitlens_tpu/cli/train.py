@@ -55,7 +55,7 @@ def build_train_data(args: TrainArgs, tokenizer, n_shards: int,
         return build_loader(ds, batch_size=args.batch_size * n_shards,
                             shuffle=True, seed=args.seed,
                             num_workers=args.workers)
-    ds = _build_real_dataset(args, args.train_data, train=True)
+    ds = _build_real_dataset(args, args.train_data, train=True, cfg=cfg)
     return build_loader(ds, batch_size=args.batch_size * n_shards,
                         shuffle=True, seed=args.seed, num_workers=args.workers)
 
@@ -80,7 +80,8 @@ def _synthetic_spec(args: TrainArgs, cfg=None) -> Dict[str, tuple]:
     }
 
 
-def _build_real_dataset(args: TrainArgs, spec: str, train: bool):
+def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
+                        cfg=None):
     from vitlens_tpu.data import datasets as D
 
     if args.dataset_type == "csv":
@@ -96,7 +97,14 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool):
                           text_processor=TextProcessor())
     m = args.modality
     if m == "audio":
-        return D.create_audio_datasets(spec, train=train)[0]
+        pk = None
+        if cfg is not None and cfg.tower.audio is not None:
+            a = cfg.tower.audio
+            # the fbank geometry follows the model config (2-sec variant etc.)
+            pk = dict(sampling_rate=a.sampling_rate,
+                      clip_duration=a.clip_duration,
+                      target_length=a.target_length, mel_bins=a.mel_bins)
+        return D.create_audio_datasets(spec, train=train, proc_kwargs=pk)[0]
     if m == "depth":
         return D.create_rgbd_datasets(spec)[0]
     if m == "tactile":
@@ -173,7 +181,7 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
             # (reference evaluate + get_clip_metrics, train.py:766-874)
             from vitlens_tpu.eval.metrics import clip_val_metrics
 
-            ds = _build_real_dataset(args, spec, train=False)
+            ds = _build_real_dataset(args, spec, train=False, cfg=cfg)
             info = build_loader(ds, batch_size=args.batch_size, shuffle=False,
                                 num_workers=args.workers, drop_last=False)
 
@@ -196,7 +204,7 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
             logging.info(f"eval[{spec}]: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in out.items()))
             continue
-        ds = _build_real_dataset(args, spec, train=False)
+        ds = _build_real_dataset(args, spec, train=False, cfg=cfg)
         vk = MODALITY_BATCH_KEY.get(args.modality, "visual")
         metric = getattr(ds, "eval_metric", "acc")
         clip_mean = args.modality == "audio"

@@ -51,7 +51,8 @@ class ESC50Dataset:
     def __init__(self, fold: str = "1", data_root: Optional[str] = None,
                  n_clip: int = 3, train: bool = False,
                  anno_path: Optional[str] = None,
-                 label_path: Optional[str] = None):
+                 label_path: Optional[str] = None,
+                 proc_kwargs: Optional[dict] = None):
         meta = MD.metadata_dir("audio")
         with open(anno_path or os.path.join(meta, f"esc50_fold-{fold}.json")) as f:
             self.annotation = json.load(f)
@@ -60,7 +61,7 @@ class ESC50Dataset:
         self.classnames = [labels[str(i)][0] for i in range(len(labels))]
         self.templates = MD.SOUND_AS_IMAGE_TEMPLATE
         self.data_root = data_root or _env_root("AUDIO")
-        self.proc = P.AudioProcessor(n_clip=n_clip)
+        self.proc = P.AudioProcessor(n_clip=n_clip, **(proc_kwargs or {}))
         self.train = train
 
     def __len__(self):
@@ -88,7 +89,8 @@ class AudioClsDataset:
 
     def __init__(self, anno_path: str, data_root: Optional[str] = None,
                  classnames: Optional[List[str]] = None, train: bool = False,
-                 n_clip: int = 3, mixup_prob: float = 0.5, seed: int = 0):
+                 n_clip: int = 3, mixup_prob: float = 0.5, seed: int = 0,
+                 proc_kwargs: Optional[dict] = None):
         with open(anno_path) as f:
             self.annotation = json.load(f)
         self.classnames = classnames or MD.load_audioset_classes()
@@ -97,7 +99,7 @@ class AudioClsDataset:
         self.train = train
         self.mixup_prob = mixup_prob
         self.n_clip = 1 if train else n_clip
-        self.proc = P.AudioProcessor(n_clip=self.n_clip)
+        self.proc = P.AudioProcessor(n_clip=self.n_clip, **(proc_kwargs or {}))
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -154,7 +156,8 @@ class AudioRetrievalDataset:
     eval_metric = "recall"
 
     def __init__(self, tsv_path: str, texts_path: str,
-                 data_root: Optional[str] = None, n_clip: int = 3):
+                 data_root: Optional[str] = None, n_clip: int = 3,
+                 proc_kwargs: Optional[dict] = None):
         self.rows = []
         with open(tsv_path) as f:
             for line in csv.reader(f, delimiter="\t"):
@@ -179,7 +182,7 @@ class AudioRetrievalDataset:
                     self.texts.append(c)
                     self.text_ids.append(i)
         self.data_root = data_root or _env_root("AUDIO")
-        self.proc = P.AudioProcessor(n_clip=n_clip)
+        self.proc = P.AudioProcessor(n_clip=n_clip, **(proc_kwargs or {}))
 
     def __len__(self):
         return len(self.rows)
@@ -600,29 +603,37 @@ class PCTripletDataset:
 # ---------------------------------------------------------------------------
 
 
-def create_audio_datasets(spec: str, train: bool = False) -> List[Any]:
-    """e.g. 'esc50@fold-1::audiocaps@test'."""
+def create_audio_datasets(spec: str, train: bool = False,
+                          proc_kwargs: Optional[dict] = None) -> List[Any]:
+    """e.g. 'esc50@fold-1::audiocaps@test'. proc_kwargs forwards fbank
+    geometry (sampling_rate/clip_duration/target_length/mel_bins) to the
+    AudioProcessor so the data pipeline follows the model config (e.g. the
+    2-sec variant)."""
     out = []
     for part in spec.split("::"):
         name, _, split = part.partition("@")
         meta = MD.metadata_dir("audio")
         if name == "esc50":
             fold = split.replace("fold-", "") or "1"
-            out.append(ESC50Dataset(fold=fold, train=train))
+            out.append(ESC50Dataset(fold=fold, train=train,
+                                    proc_kwargs=proc_kwargs))
         elif name in ("audiocaps", "clotho"):
             prefix = {"audiocaps": "audiocaps", "clotho": "clotho"}[name]
             tsv = os.path.join(meta, f"{prefix}_{split}_new.tsv")
             txt = os.path.join(meta, f"{prefix}_{split}_texts.json")
-            out.append(AudioRetrievalDataset(tsv, txt))
+            out.append(AudioRetrievalDataset(tsv, txt,
+                                             proc_kwargs=proc_kwargs))
         elif name == "vggsound":
             fname = f"vggsound_audio-only_{split or 'val'}.json"
             ds = AudioClsDataset(os.path.join(meta, fname), train=train,
-                                 classnames=MD.load_vggsound_classes())
+                                 classnames=MD.load_vggsound_classes(),
+                                 proc_kwargs=proc_kwargs)
             ds.eval_metric = "acc"  # single-label top-1 (reference :675)
             out.append(ds)
         elif name == "audioset":
             anno = os.path.join(meta, f"{name}_{split}.json")
-            out.append(AudioClsDataset(anno, train=train))
+            out.append(AudioClsDataset(anno, train=train,
+                                       proc_kwargs=proc_kwargs))
         else:
             raise ValueError(f"unknown audio dataset {name!r}")
     return out
