@@ -141,6 +141,26 @@ def test_train_cli_csv_clip(tmp_path):
     assert rec["val/primary"] == rec["val/data.tsv/image_to_text_R@1"]
 
 
+def test_train_cli_video_distill(tmp_path):
+    """Video modality through the driver: frame-mean image anchor + token
+    distillation into the video Lens (reference vid_distill_tokens branch)."""
+    from vitlens_tpu.cli.train import main
+
+    rc = main([
+        "--modality", "video", "--model", "ViT-Tiny-Test",
+        "--dataset-type", "synthetic", "--train-data", "synthetic",
+        "--train-num-samples", "8", "--batch-size", "2", "--epochs", "1",
+        "--warmup", "1", "--precision", "fp32", "--n-tower", "3",
+        "--video-distill", "--log-every-n-steps", "1",
+        "--logs", str(tmp_path), "--name", "v",
+    ])
+    assert rc == 0
+    rec = json.loads((tmp_path / "v" / "results.jsonl"
+                      ).read_text().splitlines()[-1])
+    assert np.isfinite(rec["train/loss"])
+    assert rec["train/grad_norm"] > 0
+
+
 def test_tower_override_flags():
     """Per-modality hyperparameter flags (reference params.py:645-935) graft
     onto the tower config; pc trans_dim keeps the perceiver input in sync."""

@@ -27,6 +27,9 @@ class TrainArgs:
     n_tower: int = 3
     align_to: str = "image"           # dual-mode anchor
     contra_loss_type: str = "general"  # general | label_mask | sim_mask
+    # video distill-tokens training (reference vid_distill_tokens branch):
+    # frame-mean image anchor + token distillation into the video Lens
+    video_distill: bool = False
     sim_thres: float = 0.9
     local_loss: bool = True
     gather_with_grad: bool = True     # always true on TPU (all_gather is differentiable)

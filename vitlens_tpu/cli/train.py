@@ -41,7 +41,7 @@ from vitlens_tpu.utils.logging import (
 )
 
 MODALITY_BATCH_KEY = {"pc": "pc", "audio": "audio", "depth": "depth",
-                      "tactile": "tactile", "eeg": "eeg"}
+                      "tactile": "tactile", "eeg": "eeg", "video": "video"}
 
 
 def build_train_data(args: TrainArgs, tokenizer, n_shards: int,
@@ -64,6 +64,8 @@ def _synthetic_spec(args: TrainArgs, cfg=None) -> Dict[str, tuple]:
     hw = cfg.vision.image_size if cfg is not None else 224
     ctx = cfg.text.context_length if cfg is not None else 77
     tower = cfg.tower if cfg is not None else None
+    n_frames = (tower.video.n_frames if tower is not None
+                and tower.video is not None else 3)
     vis_shapes = {
         "pc": ((tower.point.npoints if tower and tower.point else 8192), 3),
         "audio": ((tower.audio.target_length if tower and tower.audio else 512),
@@ -72,9 +74,13 @@ def _synthetic_spec(args: TrainArgs, cfg=None) -> Dict[str, tuple]:
         "tactile": (3, hw, hw),
         "eeg": ((tower.eeg.chans if tower and tower.eeg else 128),
                 (tower.eeg.time_len if tower and tower.eeg else 512)),
+        "video": (n_frames, 3, hw, hw),
     }
+    # the video anchor is the video itself through the frame-mean image
+    # tower (reference 5-D image input, model.py:542-621)
+    img_shape = (n_frames, 3, hw, hw) if args.modality == "video" else (3, hw, hw)
     return {
-        "image": ((3, hw, hw), "f"),
+        "image": (img_shape, "f"),
         "text": ((ctx,), "i"),
         "visual": (vis_shapes[args.modality], "f"),
     }
@@ -111,6 +117,12 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
         return D.TAGDataset(split=spec)
     if m == "eeg":
         return D.EEGDataset(split=spec)
+    if m == "video":
+        raise NotImplementedError(
+            "video training needs a user-supplied dataset: the reference "
+            "ships only video processors (modal_video/) and no released "
+            "video model — use --dataset-type synthetic, or build a dataset "
+            "yielding {'video': [B,T,3,H,W], 'text'/'caption_str'} batches")
     if m == "pc":
         if spec.startswith("modelnet"):
             return D.ModelNetDataset()
@@ -400,8 +412,13 @@ def main(argv=None) -> int:
     )
     sc = StepConfig(
         n_tower=args.n_tower, align_to=args.align_to,
-        contra_loss_type=args.contra_loss_type, local_loss=args.local_loss,
+        # the video distill branch pairs with TriClipDistillTokenLoss
+        # (reference create_loss keyed on exp_args, factory.py:750-851)
+        contra_loss_type=("distill_token" if args.video_distill
+                          else args.contra_loss_type),
+        local_loss=args.local_loss,
         sim_thres=args.sim_thres, accum_freq=args.accum_freq,
+        video_distill=args.video_distill,
         compute_dtype=_dtype(args),
         remat=(args.remat_policy if args.grad_checkpointing
                and args.remat_policy != "full" else args.grad_checkpointing),

@@ -245,11 +245,17 @@ def make_loss_fn(
                 mask = label_mask(labels, labels, axis_name)
             elif contra_loss_type == "sim_mask":
                 mask = sim_mask(out["image_features"], sim_thres, axis_name)
-            return tri_clip_loss(
+            loss = tri_clip_loss(
                 out["image_features"], out["text_features"],
                 out["visual_features"], out["logit_scale"],
                 axis_name=axis_name, local_loss=local_loss, mask=mask,
             )
+            if contra_loss_type == "distill_token":
+                # TriClipDistillTokenLoss (loss.py:168-231): tri + weighted
+                # token distillation, both weights default 1.0
+                loss = loss + distill_token_loss(out["visual_tokens"],
+                                                 out["image_tokens"])
+            return loss
 
         return tri_fn
 

@@ -145,6 +145,10 @@ class StepConfig:
     compute_dtype: Any = jnp.bfloat16
     remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
     sync_bn: bool = True
+    # video distill-tokens branch (reference vid_distill_tokens,
+    # model.py:545-585): anchor = frame-mean image tower over the video,
+    # plus token-level distillation into the video Lens tower
+    video_distill: bool = False
 
 
 def _forward_features(
@@ -157,6 +161,14 @@ def _forward_features(
     }
     new_state = model_state
     dt = sc.compute_dtype
+    if sc.video_distill:
+        out2, new_state = tri.tri_forward_video_distill(
+            params, model_state, model_cfg, video_frames=batch["image"],
+            text=batch["text"], visual_x=batch["visual"], train=train,
+            compute_dtype=dt, remat=sc.remat,
+        )
+        out.update(out2)
+        return out, new_state
     if sc.n_tower == 2 and sc.align_to == "clip":
         # classic CLIP: image <-> text, no Lens tower involved
         out["anchor_features"] = tri.encode_image(
