@@ -104,6 +104,11 @@ class TrainArgs:
     audio_tstride: Optional[int] = None
     audio_clip_duration: Optional[float] = None
     audio_sampling_rate: Optional[int] = None
+    # audio train-time augmentation (--audio_freqm/timem/noise_aug/mix_up)
+    audio_freqm: Optional[int] = None
+    audio_timem: Optional[int] = None
+    audio_noise_aug: Optional[bool] = None
+    audio_mix_up: Optional[bool] = None
     # point-cloud tokenizer (--pc_* / --npoints)
     pc_tokenizer: Optional[str] = None   # pointbert | pnsa
     pc_npoints: Optional[int] = None

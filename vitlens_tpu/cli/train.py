@@ -110,7 +110,17 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
             pk = dict(sampling_rate=a.sampling_rate,
                       clip_duration=a.clip_duration,
                       target_length=a.target_length, mel_bins=a.mel_bins)
-        return D.create_audio_datasets(spec, train=train, proc_kwargs=pk)[0]
+        ak = {}
+        if args.audio_freqm is not None:
+            ak["freq_mask"] = args.audio_freqm
+        if args.audio_timem is not None:
+            ak["time_mask"] = args.audio_timem
+        if args.audio_noise_aug is not None:
+            ak["noise_aug"] = args.audio_noise_aug
+        if args.audio_mix_up is not None:
+            ak["mixup_prob"] = 0.5 if args.audio_mix_up else 0.0
+        return D.create_audio_datasets(spec, train=train, proc_kwargs=pk,
+                                       aug_kwargs=ak or None)[0]
     if m == "depth":
         return D.create_rgbd_datasets(spec)[0]
     if m == "tactile":

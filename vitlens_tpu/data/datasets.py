@@ -90,7 +90,12 @@ class AudioClsDataset:
     def __init__(self, anno_path: str, data_root: Optional[str] = None,
                  classnames: Optional[List[str]] = None, train: bool = False,
                  n_clip: int = 3, mixup_prob: float = 0.5, seed: int = 0,
-                 proc_kwargs: Optional[dict] = None):
+                 proc_kwargs: Optional[dict] = None,
+                 freq_mask: int = 48, time_mask: int = 192,
+                 noise_aug: bool = True):
+        # aug knobs match the reference flags --audio_freqm/--audio_timem/
+        # --audio_noise_aug/--audio_mix_up (params.py:884-937); mix_up off =
+        # mixup_prob 0
         with open(anno_path) as f:
             self.annotation = json.load(f)
         self.classnames = classnames or MD.load_audioset_classes()
@@ -100,6 +105,8 @@ class AudioClsDataset:
         self.mixup_prob = mixup_prob
         self.n_clip = 1 if train else n_clip
         self.proc = P.AudioProcessor(n_clip=self.n_clip, **(proc_kwargs or {}))
+        self.freq_mask, self.time_mask = freq_mask, time_mask
+        self.noise_aug = noise_aug
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -136,7 +143,9 @@ class AudioClsDataset:
                 targets = lam * targets + (1 - lam) * self._labels_multihot(
                     self.annotation[j])
             fb = self.proc.process_waveform(wf, self.proc.sr)[0]
-            fb = A.spec_augment(fb, self.rng)
+            fb = A.spec_augment(fb, self.rng, freq_mask=self.freq_mask,
+                                time_mask=self.time_mask,
+                                noise=self.noise_aug)
             label_ids = np.where(targets > 0.5)[0]
             name = self.classnames[int(label_ids[0])] if len(label_ids) else ""
             t_idx = self.rng.randint(0, len(self.templates))
@@ -604,11 +613,13 @@ class PCTripletDataset:
 
 
 def create_audio_datasets(spec: str, train: bool = False,
-                          proc_kwargs: Optional[dict] = None) -> List[Any]:
+                          proc_kwargs: Optional[dict] = None,
+                          aug_kwargs: Optional[dict] = None) -> List[Any]:
     """e.g. 'esc50@fold-1::audiocaps@test'. proc_kwargs forwards fbank
     geometry (sampling_rate/clip_duration/target_length/mel_bins) to the
     AudioProcessor so the data pipeline follows the model config (e.g. the
-    2-sec variant)."""
+    2-sec variant); aug_kwargs forwards train-time aug knobs
+    (freq_mask/time_mask/noise_aug/mixup_prob) to classification datasets."""
     out = []
     for part in spec.split("::"):
         name, _, split = part.partition("@")
@@ -627,13 +638,15 @@ def create_audio_datasets(spec: str, train: bool = False,
             fname = f"vggsound_audio-only_{split or 'val'}.json"
             ds = AudioClsDataset(os.path.join(meta, fname), train=train,
                                  classnames=MD.load_vggsound_classes(),
-                                 proc_kwargs=proc_kwargs)
+                                 proc_kwargs=proc_kwargs,
+                                 **(aug_kwargs or {}))
             ds.eval_metric = "acc"  # single-label top-1 (reference :675)
             out.append(ds)
         elif name == "audioset":
             anno = os.path.join(meta, f"{name}_{split}.json")
             out.append(AudioClsDataset(anno, train=train,
-                                       proc_kwargs=proc_kwargs))
+                                       proc_kwargs=proc_kwargs,
+                                       **(aug_kwargs or {})))
         else:
             raise ValueError(f"unknown audio dataset {name!r}")
     return out
