@@ -87,6 +87,9 @@ class TrainArgs:
     log_every_n_steps: int = 100
     seed: int = 0
     report_to: str = ""               # 'tensorboard' and/or 'wandb'
+    # capture a jax.profiler trace of N steady-state train steps (written
+    # to <log_dir>/trace, viewable in tensorboard/xprof); 0 = off
+    profile_steps: int = 0
     remote_sync: Optional[str] = None
     remote_sync_frequency: int = 300
 

@@ -459,6 +459,7 @@ def main(argv=None) -> int:
 
     rng = jax.random.PRNGKey(args.seed)
     global_step = int(np.asarray(ts.step))
+    trace_active = False
     for epoch in range(start_epoch, args.epochs):
         train_info.set_epoch(epoch)
         for raw in train_info.dataloader:
@@ -466,8 +467,18 @@ def main(argv=None) -> int:
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             rng, sub = jax.random.split(rng)
+            if args.profile_steps and global_step == 2:
+                # steady state: step 0 compiles, step 1 warms caches
+                jax.profiler.start_trace(os.path.join(log_dir, "trace"))
+                trace_active = True
             ts, metrics = step(ts, batch, sub)
             global_step += 1
+            if trace_active and global_step >= 2 + args.profile_steps:
+                jax.tree.map(np.asarray, metrics)  # fence before stopping
+                jax.profiler.stop_trace()
+                trace_active = False
+                logging.info(f"profiler trace written to "
+                             f"{os.path.join(log_dir, 'trace')}")
             if global_step % args.log_every_n_steps == 0:
                 sps, spsc = meter.tick_step(
                     args.batch_size * n_shards * args.log_every_n_steps)
@@ -494,6 +505,8 @@ def main(argv=None) -> int:
             saver.submit(lambda s=host_ts, e=epoch + 1:
                          C.save_checkpoint(ckpt_dir, s, e,
                                            is_latest=args.save_most_recent))
+    if trace_active:  # --profile-steps exceeded the run length
+        jax.profiler.stop_trace()
     saver.close()  # drain pending writes; re-raises a failed save
     if sync_stop is not None:
         sync_stop.set()
