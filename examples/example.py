@@ -11,10 +11,14 @@ the script demonstrates the API flow.
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
-from vitlens_tpu import ModalityType, ViTLens
+# allow running from a repo checkout without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vitlens_tpu import ModalityType, ViTLens  # noqa: E402
 
 
 def main():
