@@ -60,6 +60,17 @@ def test_roundtrip_decode():
     assert ours.decode(ids).strip() == "a photo of a dog"
 
 
+def test_vocab_is_vendored():
+    """The BPE vocab must resolve from inside the package (standalone
+    deployments have no open_clip checkout on disk)."""
+    import os
+
+    import vitlens_tpu.text.tokenizer as T
+
+    path = T.find_vocab_file()
+    assert path.startswith(os.path.dirname(T.__file__)), path
+
+
 def test_mojibake_repair():
     """_basic_clean approximates ftfy.fix_text's main repair: UTF-8 read as
     cp1252 (reference tokenizer.py:67-70 runs ftfy before BPE)."""
