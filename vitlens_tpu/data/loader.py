@@ -147,12 +147,16 @@ class DataLoader:
 
     def _fetch(self, idx: int):
         rng = np.random.RandomState(idx)
+        last: Exception | None = None
         for _attempt in range(self.retries + 1):
             try:
                 return self.dataset[idx]
-            except Exception:
+            except Exception as e:  # noqa: BLE001 - substitution then re-raise
+                last = e
                 idx = int(rng.randint(0, len(self.dataset)))
-        raise RuntimeError(f"failed to load sample after {self.retries} retries")
+        raise RuntimeError(
+            f"failed to load sample after {self.retries} retries"
+        ) from last
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idxs = self.sampler.indices()

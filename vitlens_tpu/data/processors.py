@@ -243,6 +243,12 @@ class DepthProcessor:
                 arr = p
             elif isinstance(p, str) and p.endswith((".npy", ".npz")):
                 arr = np.load(p)
+            elif isinstance(p, str) and p.endswith(".png"):
+                # 16-bit disparity PNG (raw SUN-RGBD distribution; the
+                # reference converts these to .pt — vt_processor.py:139)
+                from PIL import Image
+
+                arr = np.asarray(Image.open(p), np.float32)
             else:
                 import torch  # .pt disparity files (host-side load only)
 
