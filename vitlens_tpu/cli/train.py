@@ -121,12 +121,15 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
             ak["mixup_prob"] = 0.5 if args.audio_mix_up else 0.0
         return D.create_audio_datasets(spec, train=train, proc_kwargs=pk,
                                        aug_kwargs=ak or None)[0]
+    # paired-image processors must match the model's resolution (the image
+    # tower pos-emb is sized by it)
+    hw = cfg.vision.image_size if cfg is not None else 224
     if m == "depth":
-        return D.create_rgbd_datasets(spec)[0]
+        return D.create_rgbd_datasets(spec, image_size=hw)[0]
     if m == "tactile":
-        return D.TAGDataset(split=spec)
+        return D.TAGDataset(split=spec, image_size=hw)
     if m == "eeg":
-        return D.EEGDataset(split=spec)
+        return D.EEGDataset(split=spec, image_size=hw)
     if m == "video":
         raise NotImplementedError(
             "video training needs a user-supplied dataset: the reference "
@@ -134,6 +137,9 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
             "video model — use --dataset-type synthetic, or build a dataset "
             "yielding {'video': [B,T,3,H,W], 'text'/'caption_str'} batches")
     if m == "pc":
+        npoints = (cfg.tower.point.npoints
+                   if cfg is not None and cfg.tower.point is not None
+                   else 8192)
         if spec.startswith("modelnet"):
             return D.ModelNetDataset()
         if spec.startswith("scanobjectnn"):
@@ -141,7 +147,8 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
         if spec.startswith("objaverse"):
             _, _, root = spec.partition("@")
             return D.ObjaverseDataset(root=root or None, augment=train)
-        return D.PCTripletDataset(anno_path=spec, augment=train)
+        return D.PCTripletDataset(anno_path=spec, augment=train,
+                                  npoints=npoints, image_size=hw)
     raise ValueError(m)
 
 

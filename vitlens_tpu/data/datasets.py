@@ -218,7 +218,8 @@ class RGBDDataset:
 
     def __init__(self, name: str = "sun-rgbd", split: str = "val",
                  data_root: Optional[str] = None, train_repeat: int = 50,
-                 seed: int = 0, anno_path: Optional[str] = None):
+                 seed: int = 0, anno_path: Optional[str] = None,
+                 image_size: int = 224):
         if anno_path is None:
             meta = MD.metadata_dir("depth")
             fname = {"sun-rgbd": f"SUN-RGBD_{split}.json",
@@ -233,8 +234,8 @@ class RGBDDataset:
         self.label2idx = {c: i for i, c in enumerate(self.classnames)}
         self.templates = MD.SCENE_CLS_TEMPLATE
         self.data_root = data_root or _env_root("DEPTH")
-        self.depth_proc = P.DepthProcessor()
-        self.image_proc = P.ImageProcessor()
+        self.depth_proc = P.DepthProcessor(image_size=image_size)
+        self.image_proc = P.ImageProcessor(image_size=image_size)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -281,7 +282,8 @@ class TAGDataset:
 
     def __init__(self, split: str = "test_material",
                  data_root: Optional[str] = None, n_repeat_train: int = 40,
-                 seed: int = 0, anno_path: Optional[str] = None):
+                 seed: int = 0, anno_path: Optional[str] = None,
+                 image_size: int = 224):
         if anno_path is None:
             meta = MD.metadata_dir("tactile")
             fname = {"pretrain": "pretrain.json",
@@ -308,8 +310,8 @@ class TAGDataset:
             self.templates = MD.TACTILE_PROPERTY_TEMPLATE
             self.label_key = "sr_label"
         self.data_root = data_root or _env_root("TACTILE")
-        self.proc = P.TactileProcessor()
-        self.image_proc = P.ImageProcessor()
+        self.proc = P.TactileProcessor(image_size=image_size)
+        self.image_proc = P.ImageProcessor(image_size=image_size)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -345,7 +347,7 @@ class EEGDataset:
 
     def __init__(self, split: str = "val", data_root: Optional[str] = None,
                  split_num: int = 0, n_repeat_train: int = 50,
-                 image_root: Optional[str] = None):
+                 image_root: Optional[str] = None, image_size: int = 224):
         import torch
 
         root = data_root or _env_root("EEG")
@@ -367,7 +369,7 @@ class EEGDataset:
         self.templates = MD.EEG_TEMPLATE
         self.image_root = image_root or os.path.join(root, "imageNet_images")
         self.proc = P.EEGProcessor()
-        self.image_proc = P.ImageProcessor()
+        self.image_proc = P.ImageProcessor(image_size=image_size)
 
     def __len__(self):
         return len(self.indices)
@@ -568,7 +570,8 @@ class PCTripletDataset:
 
     def __init__(self, anno_path: str, data_root: Optional[str] = None,
                  npoints: int = 8192, augment: bool = True,
-                 prompt_set: str = "shapenet_64", seed: int = 0):
+                 prompt_set: str = "shapenet_64", seed: int = 0,
+                 image_size: int = 224):
         with open(anno_path) as f:
             self.annotation = json.load(f)
         self.data_root = data_root or _env_root("PC")
@@ -576,7 +579,7 @@ class PCTripletDataset:
         self.augment = augment
         self.templates = MD.load_pc_templates(prompt_set)
         self.rng = np.random.RandomState(seed)
-        self.image_proc = P.ImageProcessor()
+        self.image_proc = P.ImageProcessor(image_size=image_size)
 
     def __len__(self):
         return len(self.annotation)
@@ -652,10 +655,11 @@ def create_audio_datasets(spec: str, train: bool = False,
     return out
 
 
-def create_rgbd_datasets(spec: str) -> List[RGBDDataset]:
+def create_rgbd_datasets(spec: str, image_size: int = 224) -> List[RGBDDataset]:
     """e.g. 'sun-rgbd@val::nyu-depth-v2@val'."""
     out = []
     for part in spec.split("::"):
         name, _, split = part.partition("@")
-        out.append(RGBDDataset(name=name, split=split or "val"))
+        out.append(RGBDDataset(name=name, split=split or "val",
+                               image_size=image_size))
     return out

@@ -126,8 +126,11 @@ class TactileProcessor(ImageProcessor):
     """GelSight frames: Resize smaller edge -> 256, CenterCrop 224
     (tact_processor.py:286-295)."""
 
-    def __init__(self, mean=None, std=None):
-        super().__init__(image_size=224, mean=mean, std=std, resize_size=256)
+    def __init__(self, mean=None, std=None, image_size: int = 224):
+        # reference uses a fixed 256->224 resize/crop; scale the resize edge
+        # proportionally when the model runs at a different resolution
+        super().__init__(image_size=image_size, mean=mean, std=std,
+                         resize_size=round(image_size * 256 / 224))
 
 
 # ---------------------------------------------------------------------------
