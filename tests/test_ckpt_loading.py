@@ -70,3 +70,62 @@ def test_vitlens_api_checkpoint_loading(ckpt):
         want = ref.visual(torch.from_numpy(eeg)).numpy()
     got, _ = vision_tower_apply(params, state, jnp.asarray(eeg), cfg.tower)
     assert rel_err(np.asarray(got), want) < 2e-5
+
+
+def test_plain_clip_ckpt_into_lens_tower(ckpt):
+    """A plain two-tower CLIP state dict (visual.* = image tower, no
+    adapter/perceiver keys) loaded into a Lens-modality tri config must still
+    convert the SHARED subset into params['visual'] — trunk blocks, ln_pre/
+    ln_post, proj, class/positional embeddings — matching the reference's
+    non-strict dual-key load (factory.py:138-160). Round-1 regression: the
+    except-KeyError path silently dropped the whole tower, leaving the
+    pretrained trunk at random init."""
+    import jax
+    import torch
+
+    cfg, ref, _path = ckpt
+    from vitlens_tpu.factory import _merge
+    from vitlens_tpu.models import tri
+    from vitlens_tpu.weights.torch_convert import convert_tri_state_dict
+
+    # simulate a plain CLIP checkpoint: the ref tri model's *image* tower
+    # (a standard CLIP ViT) exposed under 'visual.', plus inline text keys
+    full = ref.state_dict()
+    plain = {}
+    for k, v in full.items():
+        if k.startswith("image."):
+            plain["visual." + k[len("image."):]] = v
+        elif not k.startswith("visual."):
+            plain[k] = v
+
+    loaded_p, loaded_s = convert_tri_state_dict(plain, cfg)
+
+    # shared trunk subset present, Lens-only params absent (stay random)
+    vis = loaded_p["visual"]
+    for key in ("trunk", "ln_pre", "ln_post", "proj", "class_embedding",
+                "positional_embedding"):
+        assert key in vis, key
+    assert "perceiver" not in vis
+    assert "adapter" not in vis  # eeg adapter is not shared with an image tower
+
+    # the shared trunk must be numerically identical to the image tower's
+    img_trunk = loaded_p["image"]["trunk"]["blocks"]
+    vis_trunk = vis["trunk"]["blocks"]
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), img_trunk, vis_trunk)
+
+    # merged over random init: image encode matches the torch reference, and
+    # the visual tower still runs (random adapter/perceiver + loaded trunk)
+    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
+    params = _merge(params, loaded_p)
+    state = _merge(state, loaded_s)
+    rng = np.random.RandomState(2)
+    images = rng.randn(2, 3, 56, 56).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encode_image(torch.from_numpy(images), normalize=True).numpy()
+    got = tri.encode_image(params, state, jnp.asarray(images), cfg, normalize=True)
+    assert rel_err(np.asarray(got), want) < 2e-5
+    feats, _ = tri.encode_visual(
+        params, state, jnp.asarray(rng.randn(2, 16, 32).astype(np.float32)),
+        cfg, normalize=True)
+    assert np.all(np.isfinite(np.asarray(feats)))

@@ -19,12 +19,42 @@ _LIB_PATHS = [
 ]
 
 _lib = None
+_build_attempted = False
+
+
+def _maybe_build() -> None:
+    """Build the shared library from source on first use (the .so is not
+    shipped in version control; native/build.sh is the single source of
+    truth for the compile command)."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    import shutil
+    import subprocess
+
+    native_dir = os.path.dirname(_LIB_PATHS[0])
+    src = os.path.join(native_dir, "vitlens_host.cpp")
+    if os.path.exists(_LIB_PATHS[0]) or not os.path.exists(src):
+        return
+    if shutil.which("g++") is None or not os.access(native_dir, os.W_OK):
+        return
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+             "vitlens_host.cpp", "-o", "libvitlens_host.so"],
+            cwd=native_dir, check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass  # callers fall back to the pure-python implementations
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if not any(p and os.path.exists(p) for p in _LIB_PATHS):
+        _maybe_build()
     for p in _LIB_PATHS:
         if p and os.path.exists(p):
             lib = ctypes.CDLL(p)

@@ -290,6 +290,33 @@ def convert_vision_tower(
     return p, {"adapter": adapter_s}
 
 
+def convert_shared_vision_subset(sd: Mapping[str, Any], cfg: TowerConfig) -> Params:
+    """Plain-CLIP visual keys -> the subset a Lens tower shares with an image
+    tower: trunk blocks, ln_pre/ln_post, proj, class_embedding and the
+    (latent-resized) positional embedding. Adapter/perceiver params are NOT
+    produced and stay at their random init after the non-strict merge.
+
+    Reference behavior: tri models load plain CLIP checkpoints non-strict
+    (factory.py:138-160), so published train-from-CLIP recipes start the Lens
+    tower from the pretrained frozen trunk rather than random weights."""
+    pos = resize_pos_embed(_np(sd["positional_embedding"]), cfg.num_tokens)
+    p: Params = {
+        "class_embedding": _j(sd["class_embedding"]),
+        "positional_embedding": jnp.asarray(pos, jnp.float32),
+        "ln_pre": _ln(sd, "ln_pre"),
+        "trunk": convert_transformer_blocks(sub(sd, "transformer."), cfg.arch.layers),
+        "ln_post": _ln(sd, "ln_post"),
+        "proj": _j(sd["proj"]),
+    }
+    # image-patch-path modalities share the RGB patch conv too
+    if cfg.modality in ("image", "tactile", "video") and "conv1.weight" in sd:
+        w = _np(sd["conv1.weight"])  # [W, 3, p, p]
+        p["adapter"] = {
+            "conv1": {"w": jnp.asarray(w.reshape(w.shape[0], -1).T, jnp.float32)}
+        }
+    return p
+
+
 def convert_text_tower(sd: Mapping[str, Any], n_layers: int) -> Params:
     """Convert text keys (either TriCLIP inline — token_embedding.* at top
     level — or a TextTransformer subtree)."""
@@ -325,12 +352,19 @@ def convert_tri_state_dict(
 
     if has_visual:
         vis_sd = sub(sd, "visual.")
-        try:
+        need_adapter = cfg.tower.modality not in ("image", "tactile", "video")
+        has_adapter = any(k.startswith("visual_adapter.") for k in vis_sd)
+        perc = cfg.tower.perceiver
+        need_perc = perc is not None and not perc.as_identity
+        has_perc = any(k.startswith("perceiver.") for k in vis_sd)
+        if (need_adapter and not has_adapter) or (need_perc and not has_perc):
+            # plain CLIP ckpt into a Lens tower: still load the shared trunk
+            # subset so train-from-CLIP recipes start from pretrained weights
+            # (reference factory.py:138-160 non-strict load); only the
+            # adapter/perceiver stay at random init.
+            params["visual"] = convert_shared_vision_subset(vis_sd, cfg.tower)
+        else:
             params["visual"], state["visual"] = convert_vision_tower(vis_sd, cfg.tower)
-        except KeyError:
-            # plain CLIP ckpt: visual tower is an image tower; Lens-specific
-            # params (adapter/perceiver) stay at their random init.
-            pass
 
     # text: TriCLIP keeps text modules inline at the top level
     if "token_embedding.weight" in sd:
