@@ -113,8 +113,18 @@ def main() -> int:
             lat)
         flops_per_sample = (
             ca_full + (cfg.tower.arch.layers - 1) * ca_layer) / BATCH
+        flops_derivation = {
+            # XLA HloCostAnalysis counts a lax.scan body ONCE; the scanned
+            # 24-layer trunk is corrected by adding (layers-1) x one-resblock
+            # flops: per_sample = (ca_full + (L-1)*ca_layer) / batch
+            "xla_cost_analysis_full_graph_gflops": round(ca_full / 1e9, 2),
+            "xla_cost_analysis_one_resblock_gflops": round(ca_layer / 1e9, 2),
+            "trunk_layers": cfg.tower.arch.layers,
+            "scan_correction": "per_sample=(full+(layers-1)*resblock)/batch",
+        }
     except Exception:
         flops_per_sample = 0.0
+        flops_derivation = {}
     a100_equiv = (A100_BF16_PEAK * A100_ASSUMED_MFU / flops_per_sample
                   if flops_per_sample > 0 else 1000.0)
     mfu = (sps * flops_per_sample / V5E_BF16_PEAK * 100
@@ -136,6 +146,11 @@ def main() -> int:
                     "gflops_per_sample": round(flops_per_sample / 1e9, 1),
                     "v5e_mfu_pct": round(mfu, 1),
                     "a100_same_model_50mfu_samples_s": round(a100_equiv, 1),
+                    "a100_comparator": (
+                        "A100 bf16 peak 312e12 * assumed 0.5 MFU / "
+                        "flops_per_sample; see flops_derivation"),
+                    "flops_derivation": flops_derivation,
+                    "shape_ceiling_evidence": "scripts/microbench.py",
                 },
             }
         )

@@ -21,9 +21,15 @@ def test_resolve_prefers_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("VITLENS_CKPT_CACHE_DIR", str(tmp_path))
     d = tmp_path / "ViT-L-14"
     d.mkdir()
+    # hf-hub tags cache under the repo's weights filename
     f = d / "open_clip_pytorch_model.bin"
     f.write_bytes(b"x")
-    assert hub.resolve_pretrained("ViT-L-14", "openai") == str(f)
+    assert hub.resolve_pretrained(
+        "ViT-L-14", "datacomp_xl_s13b_b90k") == str(f)
+    # direct-URL tags (openai) cache under the URL basename
+    f2 = d / "ViT-L-14.pt"
+    f2.write_bytes(b"x")
+    assert hub.resolve_pretrained("ViT-L-14", "openai") == str(f2)
 
     # direct path passthrough
     p = tmp_path / "local.pt"

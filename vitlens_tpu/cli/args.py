@@ -22,6 +22,9 @@ class TrainArgs:
     resume_ckpt_only: bool = False
     force_quick_gelu: bool = False
     force_image_size: Optional[int] = None
+    # train-time PatchDropout prob on the Lens tower (reference
+    # --force-patch-dropout, factory.py:228-230 + transformer.py:53-90)
+    force_patch_dropout: Optional[float] = None
 
     # loss / towers (params.py --n_tower/--use_dual_loss/--contra_loss_type)
     n_tower: int = 3
@@ -122,6 +125,9 @@ class TrainArgs:
     # EEG tokenizer
     eeg_chans: Optional[int] = None
     eeg_time_len: Optional[int] = None
+    # video frame path (--vid_* in the reference, params.py vid group)
+    vid_n_frames: Optional[int] = None   # --vid_num_frm
+    vid_use_ltpos: Optional[bool] = None
     # perceiver Lens (--perceiver_*)
     perceiver_depth: Optional[int] = None
     perceiver_input_dim: Optional[int] = None  # --perceiver_input_chan

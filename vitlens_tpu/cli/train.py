@@ -131,11 +131,13 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
     if m == "eeg":
         return D.EEGDataset(split=spec, image_size=hw)
     if m == "video":
-        raise NotImplementedError(
-            "video training needs a user-supplied dataset: the reference "
-            "ships only video processors (modal_video/) and no released "
-            "video model — use --dataset-type synthetic, or build a dataset "
-            "yielding {'video': [B,T,3,H,W], 'text'/'caption_str'} batches")
+        # spec = path to an annotation json ([{video_path, text|caption,
+        # label?}], frame-dir sources); exceeds the reference, which gates
+        # video behind unreleased decord loaders (at_processor.py:113-160)
+        n_frames = (cfg.tower.video.n_frames
+                    if cfg is not None and cfg.tower.video is not None else 8)
+        return D.VideoDataset(anno_path=spec, n_frames=n_frames,
+                              image_size=hw, train=train)
     if m == "pc":
         npoints = (cfg.tower.point.npoints
                    if cfg is not None and cfg.tower.point is not None
@@ -163,6 +165,12 @@ def _prep_batch(raw: Dict[str, Any], args: TrainArgs, tokenizer) -> Dict[str, An
             batch["visual"] = batch["visual"][:, 0]  # train uses 1 clip
     if "image" in raw:
         batch["image"] = np.asarray(raw["image"])
+    elif (args.modality == "video" and "visual" in batch
+          and (args.n_tower == 3 or args.video_distill)):
+        # the video anchor IS the video: frames go through the frozen image
+        # tower's frame-mean path (reference TriCLIP 5-D image handling,
+        # model.py:542-621)
+        batch["image"] = batch["visual"]
     if "text" in raw:
         batch["text"] = np.asarray(raw["text"])
     elif "caption_str" in raw:
@@ -275,7 +283,8 @@ def _apply_tower_overrides(cfg, args: TrainArgs):
     tower = cfg.tower
     changed = {}
     for prefix, attr in (("audio", "audio"), ("pc", "point"),
-                         ("eeg", "eeg"), ("perceiver", "perceiver")):
+                         ("eeg", "eeg"), ("vid", "video"),
+                         ("perceiver", "perceiver")):
         sub = getattr(tower, attr)
         if sub is None:
             continue
@@ -353,6 +362,11 @@ def main(argv=None) -> int:
         skip_first_n_layers=args.skip_trans_first_n_layers,
     )
     cfg = _apply_tower_overrides(cfg, args)
+    if args.force_patch_dropout is not None:
+        from dataclasses import replace as _replace
+
+        cfg = _replace(cfg, tower=_replace(
+            cfg.tower, patch_dropout=args.force_patch_dropout))
     params, model_state = tri.tri_model_init(jax.random.PRNGKey(args.seed), cfg)
     if args.pretrained:
         from vitlens_tpu.factory import _merge

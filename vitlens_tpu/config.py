@@ -190,6 +190,10 @@ class TowerConfig:
     use_adapter_pos: bool = True  # not disable_visual_adapter_pos
     use_orig_pos: bool = True  # not disable_orig_pos
     skip_first_n_layers: Optional[int] = None  # skip_trans_first_n_layers
+    # train-time patch dropout (reference PatchDropout transformer.py:53-90,
+    # applied at :770-771; --force-patch-dropout factory.py:228-230).
+    # 0.0 = disabled; inference always bypasses it.
+    patch_dropout: float = 0.0
 
     @property
     def num_tokens(self) -> int:

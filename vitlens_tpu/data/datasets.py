@@ -142,7 +142,8 @@ class AudioClsDataset:
                 wf, lam = A.waveform_mixup(wf, wf2, self.rng)
                 targets = lam * targets + (1 - lam) * self._labels_multihot(
                     self.annotation[j])
-            fb = self.proc.process_waveform(wf, self.proc.sr)[0]
+            fb = self.proc.process_waveform(wf, self.proc.sr, rng=self.rng,
+                                            random_clip=True)[0]
             fb = A.spec_augment(fb, self.rng, freq_mask=self.freq_mask,
                                 time_mask=self.time_mask,
                                 noise=self.noise_aug)
@@ -159,14 +160,22 @@ class AudioClsDataset:
 
 class AudioRetrievalDataset:
     """AudioCaps/Clotho retrieval (reference modal_audio/datasets.py:405-560).
-    TSV rows: uniq_id \t audio_path \t ... ; texts json: {str(audio_id):
-    [captions]} or list aligned with rows."""
+    TSV rows: uniq_id \t audio_path \t text \t duration; texts json:
+    {str(audio_id): [captions]} or list aligned with rows.
+
+    train=True switches to the reference's retrieval TRAIN recipe: one
+    random clip (RandomClipSampler, at_processor.py:329-333) + optional
+    SpecAug, and items carry the row's caption so the dual/tri contrastive
+    step can tokenize it (reference __getitem__ returns
+    {audio, caption, uniq_id}, datasets.py:466-481)."""
 
     eval_metric = "recall"
 
     def __init__(self, tsv_path: str, texts_path: str,
                  data_root: Optional[str] = None, n_clip: int = 3,
-                 proc_kwargs: Optional[dict] = None):
+                 proc_kwargs: Optional[dict] = None, train: bool = False,
+                 seed: int = 0, freq_mask: int = 48, time_mask: int = 192,
+                 noise_aug: bool = True, **_ignored_aug):
         self.rows = []
         with open(tsv_path) as f:
             for line in csv.reader(f, delimiter="\t"):
@@ -175,8 +184,21 @@ class AudioRetrievalDataset:
                 if not line[0].strip().isdigit():  # header row
                     continue
                 self.rows.append(line)
-        with open(texts_path) as f:
-            texts = json.load(f)
+        if os.path.exists(texts_path):
+            with open(texts_path) as f:
+                texts = json.load(f)
+        elif train:
+            # train splits ship no retrieval-corpus json; the per-row tsv
+            # captions are the text side (used for in-training recall eval)
+            texts = {r[0]: [r[2]] for r in self.rows if len(r) > 2}
+        else:
+            raise FileNotFoundError(texts_path)
+        self.train = train
+        if train:
+            n_clip = 1
+        self.rng = np.random.RandomState(seed)
+        self.freq_mask, self.time_mask = freq_mask, time_mask
+        self.noise_aug = noise_aug
         # texts: mapping id -> list[str] or flat list of [id, caption]
         self.texts: List[str] = []
         self.text_ids: List[int] = []
@@ -199,7 +221,21 @@ class AudioRetrievalDataset:
     def __getitem__(self, idx):
         row = self.rows[idx]
         uniq_id, audio_path = int(row[0]), row[1]
-        x = self.proc([os.path.join(self.data_root, audio_path)])[0]
+        path = os.path.join(self.data_root, audio_path)
+        if self.train:
+            from vitlens_tpu.data.audio_decode import load_audio_file, resample
+
+            wf, sr = load_audio_file(path)
+            if sr != self.proc.sr:
+                wf = resample(wf, sr, self.proc.sr)
+            fb = self.proc.process_waveform(wf, self.proc.sr, rng=self.rng,
+                                            random_clip=True)[0]
+            fb = A.spec_augment(fb, self.rng, freq_mask=self.freq_mask,
+                                time_mask=self.time_mask,
+                                noise=self.noise_aug)
+            caption = row[2] if len(row) > 2 else ""
+            return {"id": uniq_id, "audio": fb, "caption_str": caption}
+        x = self.proc([path])[0]
         return {"id": uniq_id, "audio": x}
 
 
@@ -386,6 +422,83 @@ class EEGDataset:
             out["image"] = self.image_proc([img_path])[0]
         if self.train:
             out["caption_str"] = f"an image of {self.classnames[label]}."
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Video (closes the reference's unfinished video path: modal_video ships
+# processors only; frame-loading semantics follow at_processor.py:113-160
+# read_pil_frames_from_decord, with decoding pluggable since this image has
+# no decord/ffmpeg)
+# ---------------------------------------------------------------------------
+
+
+class VideoDataset:
+    """Real-data video training/eval.
+
+    Annotation json: [{video_path, text|caption, label?}] where video_path
+    is a pre-extracted frame directory (ordered jpg/png), or any source a
+    user-supplied decode_fn(path) -> [T,H,W,3] uint8 can read. Train mode
+    samples jittered frame indices + RandomResizedCrop; eval takes segment
+    centers + center crop (optionally 3-crop aggregation,
+    zero_shot.py:460-569)."""
+
+    eval_metric = "recall"
+
+    def __init__(self, anno_path: str, data_root: Optional[str] = None,
+                 n_frames: int = 8, image_size: int = 224,
+                 train: bool = False, seed: int = 0,
+                 decode_fn: Optional[Any] = None, three_crop: bool = False):
+        from vitlens_tpu.data import video_processors as VP
+
+        with open(anno_path) as f:
+            self.annotation = json.load(f)
+        self.data_root = data_root or _env_root("VIDEO")
+        self.train = train
+        self.proc = VP.VideoProcessor(
+            n_frames=n_frames, size=image_size, train=train, seed=seed,
+            decode_fn=decode_fn, three_crop=three_crop and not train)
+        labels = sorted({a["label"] for a in self.annotation
+                         if a.get("label") is not None})
+        if labels and all(isinstance(l, str) for l in labels):
+            self.classnames = labels
+            self._label_idx = {l: i for i, l in enumerate(labels)}
+        else:
+            self.classnames = None
+            self._label_idx = None
+        self.templates = ["a video of {}."]
+        # retrieval corpus: per-item captions (reference test_vidret,
+        # zero_shot.py:460-569); labeled sets dispatch to classification
+        self.texts: List[str] = []
+        self.text_ids: List[int] = []
+        for i, a in enumerate(self.annotation):
+            cap = a.get("text") or a.get("caption")
+            if cap:
+                self.texts.append(cap)
+                self.text_ids.append(i)
+        if not self.texts and labels:
+            self.eval_metric = "acc"
+
+    def __len__(self):
+        return len(self.annotation)
+
+    def __getitem__(self, idx):
+        ann = self.annotation[idx]
+        src = os.path.join(self.data_root, ann["video_path"])
+        x = self.proc.process_one(src).astype(np.float32)
+        out = {"id": idx, "video": x}
+        caption = ann.get("text") or ann.get("caption") or ""
+        if caption:
+            out["caption_str"] = caption
+        label = ann.get("label")
+        if label is not None:
+            if self._label_idx is not None and isinstance(label, str):
+                label = self._label_idx[label]
+            out["label"] = int(label)
+            if not caption:
+                name = (self.classnames[out["label"]]
+                        if self.classnames else str(label))
+                out["caption_str"] = self.templates[0].format(name)
         return out
 
 
@@ -632,11 +745,17 @@ def create_audio_datasets(spec: str, train: bool = False,
             out.append(ESC50Dataset(fold=fold, train=train,
                                     proc_kwargs=proc_kwargs))
         elif name in ("audiocaps", "clotho"):
-            prefix = {"audiocaps": "audiocaps", "clotho": "clotho"}[name]
-            tsv = os.path.join(meta, f"{prefix}_{split}_new.tsv")
-            txt = os.path.join(meta, f"{prefix}_{split}_texts.json")
-            out.append(AudioRetrievalDataset(tsv, txt,
-                                             proc_kwargs=proc_kwargs))
+            # clotho ships split files named validation/evaluation
+            # (reference datasets.py:489-497 anno_path)
+            fsplit = split
+            if name == "clotho":
+                fsplit = {"val": "validation", "test": "evaluation"}.get(
+                    split, split)
+            tsv = os.path.join(meta, f"{name}_{fsplit}_new.tsv")
+            txt = os.path.join(meta, f"{name}_{fsplit}_texts.json")
+            out.append(AudioRetrievalDataset(tsv, txt, train=train,
+                                             proc_kwargs=proc_kwargs,
+                                             **(aug_kwargs or {})))
         elif name == "vggsound":
             fname = f"vggsound_audio-only_{split or 'val'}.json"
             ds = AudioClsDataset(os.path.join(meta, fname), train=train,

@@ -320,7 +320,14 @@ class AudioProcessor:
         self.std = std
         self.seed = seed
 
-    def process_waveform(self, wf: np.ndarray, sr: int) -> np.ndarray:
+    def process_waveform(self, wf: np.ndarray, sr: int,
+                         rng: Optional[np.random.RandomState] = None,
+                         random_clip: bool = False) -> np.ndarray:
+        """random_clip=True samples uniformly-random clip windows (the
+        reference train path's RandomClipSampler, at_processor.py:329-333);
+        default is the eval-time constant clip grid (:842-845). Pass the
+        dataset's rng for varied crops across steps; the default self-seeded
+        rng keeps eval deterministic."""
         import jax
 
         from vitlens_tpu.data.audio_decode import resample
@@ -331,10 +338,19 @@ class AudioProcessor:
         if sr != self.sr:
             wf = resample(wf, sr, self.sr)
         duration = wf.shape[1] / self.sr
-        rng = np.random.RandomState(self.seed) if self.seed is not None else None
+        if rng is None:
+            rng = np.random.RandomState(self.seed) if self.seed is not None else None
         if duration <= self.clip_duration:
             clips = [audio_get_clip(wf, self.sr, self.clip_duration, rng=rng)
                      ] * self.n_clip
+        elif random_clip and rng is not None:
+            starts = rng.uniform(0.0, duration - self.clip_duration,
+                                 size=self.n_clip)
+            clips = [
+                audio_get_clip(wf, self.sr, self.clip_duration, s,
+                               s + self.clip_duration, rng=rng)
+                for s in starts
+            ]
         else:
             clips = [
                 audio_get_clip(wf, self.sr, self.clip_duration, s, e, rng=rng)

@@ -191,6 +191,21 @@ def vision_tower_apply(
     if cfg.use_orig_pos:
         h = h + p["positional_embedding"].astype(h.dtype)
 
+    if train and cfg.patch_dropout > 0.0 and fps_key is not None:
+        # train-time PatchDropout (reference transformer.py:53-90 + :770-771):
+        # keep CLS + a uniformly-random subset of max(1, n*(1-prob)) patches.
+        # Static keep-count -> static shapes under jit; fps_key doubles as
+        # the tower's per-step stochastic-ops key (folded per device by the
+        # train step).
+        pd_key = jax.random.fold_in(fps_key, 17)
+        cls_tok, patches = h[:, :1], h[:, 1:]
+        n = patches.shape[1]
+        keep = max(1, int(n * (1.0 - cfg.patch_dropout)))
+        rand = jax.random.normal(pd_key, (B, n))
+        idx = jax.lax.top_k(rand, keep)[1]
+        patches = jnp.take_along_axis(patches, idx[..., None], axis=1)
+        h = jnp.concatenate([cls_tok, patches], axis=1)
+
     h = L.layer_norm(h, p["ln_pre"])
     h = L.transformer(
         h, p["trunk"], cfg.arch.heads, L.get_act(cfg.quick_gelu),

@@ -15,20 +15,93 @@ from typing import Any, Dict, Optional
 
 # Pretrained tag registry (reference pretrained.py:24-398). Stored as
 # (hf repo, filename) or url; resolution order: local cache dir, then hub.
+# Carries every tag reachable by an architecture this build implements
+# (ViT family + ModifiedResNet + EVA-g); HF-text / roberta / convnext / coca
+# tags are out of scope (those towers back no ViT-Lens result).
+_OPENAI_CLIP = "https://openaipublic.azureedge.net/clip/models"
 PRETRAINED_REGISTRY: Dict[str, Dict[str, Any]] = {
-    "ViT-L-14/datacomp_xl_s13b_b90k": dict(
+    # --- CLIP trunks used by ViT-Lens recipes (pretrained.py:94-245) ---
+    "ViT-L-14/datacomp_xl_s13b_b90k": dict(  # the vitlensL trunk
         hf_hub="laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90K/",
         quick_gelu=False),
-    "ViT-L-14/openai": dict(hf_hub="", quick_gelu=True),
-    "ViT-B-16/openai": dict(hf_hub="", quick_gelu=True),
-    "ViT-bigG-14/laion2b_s39b_b160k": dict(
+    "ViT-L-14/openai": dict(
+        url=f"{_OPENAI_CLIP}/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt",
+        quick_gelu=True),
+    "ViT-L-14/laion400m_e31": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_l_14-laion400m_e31-69988bb6.pt",
+        quick_gelu=False),
+    "ViT-L-14/laion400m_e32": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_l_14-laion400m_e32-3d133497.pt",
+        quick_gelu=False),
+    "ViT-L-14/laion2b_s32b_b82k": dict(
+        hf_hub="laion/CLIP-ViT-L-14-laion2B-s32B-b82K/", quick_gelu=False,
+        mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),
+    "ViT-L-14/commonpool_xl_clip_s13b_b90k": dict(
+        hf_hub="laion/CLIP-ViT-L-14-CommonPool.XL.clip-s13B-b90K/",
+        quick_gelu=False),
+    "ViT-L-14/commonpool_xl_laion_s13b_b90k": dict(
+        hf_hub="laion/CLIP-ViT-L-14-CommonPool.XL.laion-s13B-b90K/",
+        quick_gelu=False),
+    "ViT-L-14/commonpool_xl_s13b_b90k": dict(
+        hf_hub="laion/CLIP-ViT-L-14-CommonPool.XL-s13B-b90K/",
+        quick_gelu=False),
+    "ViT-L-14-336/openai": dict(
+        url=f"{_OPENAI_CLIP}/3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02/ViT-L-14-336px.pt",
+        quick_gelu=True),
+    "ViT-B-16/openai": dict(
+        url=f"{_OPENAI_CLIP}/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+        quick_gelu=True),
+    "ViT-B-16/laion400m_e31": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_16-laion400m_e31-00efa78f.pt",
+        quick_gelu=False),
+    "ViT-B-16/laion400m_e32": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_16-laion400m_e32-55e67d44.pt",
+        quick_gelu=False),
+    "ViT-B-16/laion2b_s34b_b88k": dict(
+        hf_hub="laion/CLIP-ViT-B-16-laion2B-s34B-b88K/", quick_gelu=False),
+    "ViT-B-16/datacomp_l_s1b_b8k": dict(
+        hf_hub="laion/CLIP-ViT-B-16-DataComp.L-s1B-b8K/", quick_gelu=False),
+    "ViT-B-32/openai": dict(
+        url=f"{_OPENAI_CLIP}/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+        quick_gelu=True),
+    "ViT-B-32/laion2b_s34b_b79k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-laion2B-s34B-b79K/", quick_gelu=False),
+    "ViT-B-32/datacomp_m_s128m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-DataComp.M-s128M-b4K/", quick_gelu=False),
+    "ViT-H-14/laion2b_s32b_b79k": dict(
+        hf_hub="laion/CLIP-ViT-H-14-laion2B-s32B-b79K/", quick_gelu=False),
+    "ViT-g-14/laion2b_s12b_b42k": dict(
+        hf_hub="laion/CLIP-ViT-g-14-laion2B-s12B-b42K/", quick_gelu=False),
+    "ViT-g-14/laion2b_s34b_b88k": dict(
+        hf_hub="laion/CLIP-ViT-g-14-laion2B-s34B-b88K/", quick_gelu=False),
+    "ViT-bigG-14/laion2b_s39b_b160k": dict(  # the vitlensG trunk
         hf_hub="laion/CLIP-ViT-bigG-14-laion2B-39B-b160k/", quick_gelu=False),
+    "RN50/openai": dict(
+        url=f"{_OPENAI_CLIP}/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+        quick_gelu=True),
+    "RN101/openai": dict(
+        url=f"{_OPENAI_CLIP}/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+        quick_gelu=True),
+    # --- released ViT-Lens checkpoints (MODEL_ZOO.md; HF TencentARC/ViT-Lens) ---
     "vitlensL": dict(hf_hub="TencentARC/ViT-Lens/vitlensL.pt"),
     "vitlensL_pc": dict(hf_hub="TencentARC/ViT-Lens/vitlensL_pc.pt"),
+    "vitlensL_pc_shapenet": dict(
+        hf_hub="TencentARC/ViT-Lens/vitlensL_pc_shapenet.pt"),
     "vitlensL_audio": dict(hf_hub="TencentARC/ViT-Lens/vitlensL_audio.pt"),
+    "vitlensL_audio_2s": dict(
+        hf_hub="TencentARC/ViT-Lens/vitlensL_audio_2s.pt"),
     "vitlensL_depth": dict(hf_hub="TencentARC/ViT-Lens/vitlensL_depth.pt"),
     "vitlensL_tactile": dict(hf_hub="TencentARC/ViT-Lens/vitlensL_tactile.pt"),
     "vitlensL_eeg": dict(hf_hub="TencentARC/ViT-Lens/vitlensL_eeg.pt"),
+    "vitlensB_pc": dict(hf_hub="TencentARC/ViT-Lens/vitlensB_pc.pt"),
+    "vitlensB_pc_shapenet": dict(
+        hf_hub="TencentARC/ViT-Lens/vitlensB_pc_shapenet.pt"),
+    "vitlensB_depth": dict(hf_hub="TencentARC/ViT-Lens/vitlensB_depth.pt"),
+    "vitlensB_tactile": dict(hf_hub="TencentARC/ViT-Lens/vitlensB_tactile.pt"),
+    "vitlensB_eeg": dict(hf_hub="TencentARC/ViT-Lens/vitlensB_eeg.pt"),
+    "vitlensG_pc": dict(hf_hub="TencentARC/ViT-Lens/vitlensG_pc.pt"),
+    "vitlensG_pc_nolvis": dict(
+        hf_hub="TencentARC/ViT-Lens/vitlensG_pc_nolvis.pt"),
 }
 
 
@@ -51,11 +124,26 @@ def resolve_pretrained(model: str, tag: str) -> str:
         if os.path.exists(tag):
             return tag
         raise KeyError(f"unknown pretrained tag {model}/{tag}")
-    fname = os.path.basename(cfg.get("hf_hub", "").rstrip("/")) or "open_clip_pytorch_model.bin"
+    if "url" in cfg:
+        fname = os.path.basename(cfg["url"].split("?")[0])
+    else:
+        hh = cfg.get("hf_hub", "")
+        # "org/repo/" -> default weights file; "org/repo/file.pt" -> file.pt
+        fname = (hh.split("/", 2)[2].strip("/") if hh.count("/") >= 2 else ""
+                 ) or "open_clip_pytorch_model.bin"
+        fname = os.path.basename(fname)
     local = os.path.join(cache_dir(), model.replace("/", "_"), fname)
     if os.path.exists(local):
         return local
     try:
+        if "url" in cfg:  # direct-URL tags (reference download_pretrained_from_url)
+            import urllib.request
+
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            tmp = local + ".part"
+            urllib.request.urlretrieve(cfg["url"], tmp)
+            os.replace(tmp, local)
+            return local
         from huggingface_hub import hf_hub_download  # type: ignore
 
         repo = "/".join(cfg["hf_hub"].split("/")[:2])
