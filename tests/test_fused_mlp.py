@@ -1,0 +1,111 @@
+"""Fused residual-MLP Pallas kernel (ops/fused_mlp.py): interpret-mode
+numerics vs the XLA reference, custom_vjp gradients, resblock dispatch
+gating, and the erf approximation itself."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitlens_tpu.ops import fused_mlp as FM
+
+
+def _args(m=256, d=128, hidden=256, seed=0, dtype=jnp.bfloat16):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.randn(m, d) * 0.5, dtype),
+        jnp.asarray(rng.rand(1, d) + 0.5, jnp.float32),
+        jnp.asarray(rng.randn(1, d) * 0.1, jnp.float32),
+        jnp.asarray(rng.randn(d, hidden) * 0.05, dtype),
+        jnp.asarray(rng.randn(1, hidden) * 0.1, jnp.float32),
+        jnp.asarray(rng.randn(hidden, d) * 0.05, dtype),
+        jnp.asarray(rng.randn(1, d) * 0.1, jnp.float32),
+    )
+
+
+def test_erf_approx_matches_exact():
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    got = np.asarray(FM._gelu_erf_approx(x))
+    want = np.asarray(jax.nn.gelu(x, approximate=False))
+    assert np.abs(got - want).max() < 1e-6
+
+
+@pytest.mark.parametrize("act", ["gelu", "quick_gelu"])
+def test_kernel_matches_xla_reference(act, monkeypatch):
+    monkeypatch.setattr(FM, "_INTERPRET", True)
+    args = _args()
+    got = np.asarray(
+        FM._pallas_fused_mlp(*args, act=act, eps=1e-5, tm=128), np.float32)
+    want = np.asarray(
+        FM._xla_reference(*args, act=act, eps=1e-5), np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    assert np.abs(got - want).max() / scale < 2.5e-2  # bf16 rounding; the
+    # kernel keeps h in fp32 through the act where XLA rounds it to bf16
+
+
+def test_kernel_partial_last_tile(monkeypatch):
+    """M not divisible by the tile: padded rows must not corrupt real ones."""
+    monkeypatch.setattr(FM, "_INTERPRET", True)
+    args = _args(m=200)
+    got = np.asarray(
+        FM._pallas_fused_mlp(*args, act="gelu", eps=1e-5, tm=128), np.float32)
+    want = np.asarray(
+        FM._xla_reference(*args, act="gelu", eps=1e-5), np.float32)
+    scale = np.abs(want).max()
+    assert got.shape == (200, 128)
+    assert np.abs(got - want).max() / scale < 2.5e-2
+
+
+def test_custom_vjp_gradients_match_xla(monkeypatch):
+    monkeypatch.setattr(FM, "_INTERPRET", True)
+    args = _args(m=64, d=128, hidden=128, dtype=jnp.float32)
+    # fp32 so finite-precision effects don't mask a wrong formula
+    op = FM._make_op("gelu", 1e-5)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(op(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(FM._xla_reference(*a, act="gelu", eps=1e-5)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 3, 4, 5, 6))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 3, 4, 5, 6))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_resblock_dispatch_gating():
+    """fused path requires: TPU backend, bf16, big M, aligned dims, no
+    layer-scale."""
+    from vitlens_tpu.models import layers as L
+
+    p = L.resblock_init(jax.random.PRNGKey(0), 128)
+    x_ok = jnp.zeros((64, 128, 128), jnp.bfloat16)  # rows = 8192
+    assert FM.fused_mlp_applicable(x_ok, p, "gelu")
+    assert not FM.fused_mlp_applicable(x_ok, p, "relu")
+    assert not FM.fused_mlp_applicable(
+        x_ok.astype(jnp.float32), p, "gelu")
+    assert not FM.fused_mlp_applicable(
+        jnp.zeros((4, 16, 128), jnp.bfloat16), p, "gelu")  # too few rows
+    p_ls = L.resblock_init(jax.random.PRNGKey(0), 128, ls_init_value=0.1)
+    assert not FM.fused_mlp_applicable(x_ok, p_ls, "gelu")
+    # CPU-pinned tests must never take the kernel path
+    assert not FM.fused_mlp_available()
+
+
+def test_fused_block_equals_resblock_mlp_half(monkeypatch):
+    """fused_mlp_block on [B,N,D] == the resblock's ln_2/mlp half."""
+    from vitlens_tpu.models import layers as L
+
+    monkeypatch.setattr(FM, "_INTERPRET", True)
+    p = L.resblock_init(jax.random.PRNGKey(1), 128)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 64, 128) * 0.3, jnp.bfloat16)
+
+    got = np.asarray(FM.fused_mlp_block(x, p, "gelu"), np.float32)
+    h = L.linear(L.layer_norm(x, p["ln_2"]), p["mlp"]["fc"])
+    want = np.asarray(x + L.linear(L.gelu(h), p["mlp"]["proj"]), np.float32)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 2.5e-2

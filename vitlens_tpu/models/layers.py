@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from vitlens_tpu.ops.attention import dot_product_attention
+from vitlens_tpu.ops.fused_mlp import (
+    fused_mlp_applicable,
+    fused_mlp_available,
+    fused_mlp_block,
+)
 
 Params = Dict[str, Any]
 
@@ -175,6 +180,14 @@ def resblock(
     if "ls_1" in p:
         a = a * p["ls_1"]["gamma"].astype(x.dtype)
     x = x + a
+    # TPU hot path: the whole ln_2+fc+act+proj+residual half runs as one
+    # Pallas kernel with VMEM-resident weights (ops/fused_mlp.py; measured
+    # 1.23x over the XLA schedule at the ViT-L encode shape).
+    act_name = ("gelu" if act is gelu
+                else "quick_gelu" if act is quick_gelu else None)
+    if (act_name is not None and fused_mlp_available()
+            and fused_mlp_applicable(x, p, act_name)):
+        return fused_mlp_block(x, p, act_name, ln_eps)
     h = linear(layer_norm(x, p["ln_2"], ln_eps), p["mlp"]["fc"])
     h = linear(act(h), p["mlp"]["proj"])
     if "ls_2" in p:

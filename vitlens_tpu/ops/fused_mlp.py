@@ -1,0 +1,190 @@
+"""Fused residual-MLP Pallas kernel: out = x + act(ln(x) @ W1 + b1) @ W2 + b2.
+
+The MLP is ~64% of a ViT resblock's FLOPs, and XLA schedules it as two
+matmuls with the hidden activation ([tokens, 4*width] bf16 — 135 MB at the
+bench shape) making two HBM round trips. This kernel tiles over tokens,
+keeps BOTH weight matrices VMEM-resident across the whole grid (v5e has
+128 MB VMEM; ViT-L MLP weights are 16.8 MB bf16) and the hidden activation
+never leaves VMEM. Measured on v5e at the ViT-L encode shape
+(M=16448, D=1024, H=4096): 104 TF/s vs 85 TF/s for the XLA schedule
+(scripts/fused_mlp_pallas.py sweep — tm=512, full hidden).
+
+Numerics match models/layers.py:178-182: fp32 LayerNorm, bf16 matmuls with
+fp32 accumulation. Mosaic lowers neither erf nor erfc, so exact-erf GELU
+(torch nn.GELU default) uses the Abramowitz–Stegun 7.1.26 rational
+approximation (max abs error 1.5e-7 — below fp32 LN noise, far below bf16
+rounding at 2^-8).
+
+Backward: custom_vjp that re-runs the XLA reference expression under
+jax.vjp — the same recompute the training step already pays under full
+remat (train/step.py), so training keeps exact XLA gradients while every
+forward (and every frozen-tower forward) takes the fast kernel.
+
+Reference semantics being accelerated: open_clip/transformer.py:253-272
+(ResidualAttentionBlock.mlp path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+_MIN_ROWS = 4096  # below this the kernel's win does not cover its overhead
+
+
+def _gelu_erf_approx(x32: jnp.ndarray) -> jnp.ndarray:
+    """0.5*x*(1+erf(x/sqrt(2))) with A&S 7.1.26 erf (|err| <= 1.5e-7)."""
+    z = x32 * (2.0 ** -0.5)
+    s = jnp.sign(z)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-a * a))
+    return 0.5 * x32 * (1.0 + erf)
+
+
+def _quick_gelu(x32: jnp.ndarray) -> jnp.ndarray:
+    return x32 * jax.nn.sigmoid(1.702 * x32)
+
+
+_KERNEL_ACTS = {"gelu": _gelu_erf_approx, "quick_gelu": _quick_gelu}
+
+
+def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            out_ref, *, act: str, eps: float):
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y32 = y32 * lnw_ref[0, :] + lnb_ref[0, :]
+    y = y32.astype(x_ref.dtype)
+
+    h32 = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    h = _KERNEL_ACTS[act](h32 + b1_ref[0, :]).astype(x_ref.dtype)
+    part = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = (x32 + b2_ref[0, :] + part).astype(out_ref.dtype)
+
+
+_INTERPRET = False  # tests flip this to run the kernel on CPU
+
+
+def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
+                      tm: int = 512):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, d = x.shape
+    hidden = w1.shape[1]
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, act=act, eps=eps),
+        grid=(pl.cdiv(m, tm),),
+        in_specs=[
+            pl.BlockSpec((tm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            row(d), row(d),
+            # constant index maps: weights are DMA'd once and stay in VMEM
+            pl.BlockSpec((d, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row(hidden),
+            pl.BlockSpec((hidden, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row(d),
+        ],
+        out_specs=pl.BlockSpec((tm, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # default 16 MB scoped VMEM rejects the resident weights;
+            # v5e has 128 MB
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * hidden,
+            bytes_accessed=2 * (2 * m * d + 2 * d * hidden),
+            transcendentals=m * hidden,
+        ),
+        interpret=_INTERPRET,
+    )(x, lnw, lnb, w1, b1, w2, b2)
+
+
+def _xla_reference(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float):
+    """The plain schedule (models/layers.py:178-182) — exact-erf gelu."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + eps) * lnw[0] + lnb[0])
+    y = y.astype(x.dtype)
+    h = y @ w1 + b1[0].astype(x.dtype)
+    h = (jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+         if act == "gelu" else _quick_gelu(h.astype(jnp.float32)))
+    h = h.astype(x.dtype)
+    return x + (h @ w2 + b2[0].astype(x.dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(act: str, eps: float):
+    @jax.custom_vjp
+    def op(x, lnw, lnb, w1, b1, w2, b2):
+        return _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2,
+                                 act=act, eps=eps)
+
+    def fwd(x, lnw, lnb, w1, b1, w2, b2):
+        return op(x, lnw, lnb, w1, b1, w2, b2), (x, lnw, lnb, w1, b1, w2, b2)
+
+    def bwd(res, g):
+        # exact XLA gradients via recompute — the cost the train step
+        # already pays under remat
+        _, vjp = jax.vjp(
+            functools.partial(_xla_reference, act=act, eps=eps), *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_mlp_available() -> bool:
+    from vitlens_tpu.ops.attention import _flash_available
+
+    return _flash_available()
+
+
+def fused_mlp_applicable(x: jnp.ndarray, p: Params, act_name: str) -> bool:
+    """Shape/act gate. x is the [B, N, D] (or [M, D]) resblock input;
+    p the resblock param dict."""
+    if act_name not in _KERNEL_ACTS or "ls_2" in p:
+        return False
+    if x.dtype != jnp.bfloat16:
+        return False
+    d = x.shape[-1]
+    hidden = p["mlp"]["fc"]["w"].shape[1]
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    return (rows >= _MIN_ROWS and d % 128 == 0 and hidden % 128 == 0
+            and "b" in p["mlp"]["fc"] and "b" in p["mlp"]["proj"])
+
+
+def fused_mlp_block(x: jnp.ndarray, p: Params, act_name: str,
+                    ln_eps: float = 1e-5) -> jnp.ndarray:
+    """x [..., D] -> x + act(ln_2(x) @ fc + b) @ proj + b, via the kernel."""
+    d = x.shape[-1]
+    x2d = x.reshape(-1, d)
+    op = _make_op(act_name, float(ln_eps))
+    out = op(
+        x2d,
+        p["ln_2"]["scale"].astype(jnp.float32).reshape(1, d),
+        p["ln_2"]["bias"].astype(jnp.float32).reshape(1, d),
+        p["mlp"]["fc"]["w"].astype(x.dtype),
+        p["mlp"]["fc"]["b"].astype(jnp.float32).reshape(1, -1),
+        p["mlp"]["proj"]["w"].astype(x.dtype),
+        p["mlp"]["proj"]["b"].astype(jnp.float32).reshape(1, d),
+    )
+    return out.reshape(x.shape)
