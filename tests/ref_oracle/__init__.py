@@ -129,7 +129,7 @@ def install():
     dgl.geometry = _stub_module("dgl.geometry",
                                 farthest_point_sampler=_NoDGL.farthest_point_sampler)
 
-    # torch_redstone: only rst.Lambda is used
+    # torch_redstone: Lambda + the bits the OpenShape baselines use.
     class _Lambda(nn.Module):
         def __init__(self, fn):
             super().__init__()
@@ -138,7 +138,43 @@ def install():
         def forward(self, x):
             return self.fn(x)
 
-    _stub_module("torch_redstone", Lambda=_Lambda)
+    def _supercat(tensors, dim=-1):
+        """torch_redstone.supercat: broadcast-then-concatenate. Every tensor
+        is left-padded to the max ndim and expanded to the common broadcast
+        shape in all axes except `dim` (ppat.py:105-106 usage: prepend a
+        cls token / a zero centroid column)."""
+        nd = max(t.dim() for t in tensors)
+        shaped = [t.reshape((1,) * (nd - t.dim()) + tuple(t.shape))
+                  for t in tensors]
+        axis = dim if dim >= 0 else nd + dim
+        target = [1] * nd
+        for t in shaped:
+            for a in range(nd):
+                if a != axis:
+                    target[a] = max(target[a], t.shape[a])
+        out = []
+        for t in shaped:
+            shape = list(target)
+            shape[axis] = t.shape[axis]
+            out.append(t.expand(*shape))
+        return torch.cat(out, dim=axis)
+
+    class _Polyfill:
+        @staticmethod
+        def cdist2(x, y):
+            """Squared pairwise distances, NEGATED: dgcnn.py:11 does
+            `cdist2(x, x).topk(k)` (largest=True), and the kNN graph must
+            select NEAREST neighbours (DGCNN paper; OpenShape's published
+            DGCNN baselines), so cdist2's sign convention must make topk
+            return nearest."""
+            x2 = (x ** 2).sum(-1, keepdim=True)
+            y2 = (y ** 2).sum(-1, keepdim=True)
+            d2 = x2 + y2.transpose(-1, -2) - 2 * torch.matmul(
+                x, y.transpose(-1, -2))
+            return -d2
+
+    _stub_module("torch_redstone", Lambda=_Lambda, supercat=_supercat,
+                 Polyfill=_Polyfill)
 
     # namespace package pointing at the reference tree
     pkg = types.ModuleType("open_clip")
@@ -152,6 +188,20 @@ def load(modname: str):
     """Import e.g. 'open_clip.transformer' from the reference tree."""
     install()
     return importlib.import_module(modname)
+
+
+OPENSHAPE_MODELS = "/root/reference/VitLens-OpenShape/src/models"
+
+
+def load_openshape_model(modname: str):
+    """Import e.g. 'ppat' or 'dgcnn' from the reference OpenShape models
+    tree (relative imports like `.pointnet_util` resolve inside it)."""
+    install()
+    if "os_models" not in sys.modules:
+        pkg = types.ModuleType("os_models")
+        pkg.__path__ = [OPENSHAPE_MODELS]
+        sys.modules["os_models"] = pkg
+    return importlib.import_module(f"os_models.{modname}")
 
 
 def easydict(**kwargs):

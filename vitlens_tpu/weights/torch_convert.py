@@ -396,3 +396,112 @@ def load_torch_checkpoint(path: str):
     if isinstance(ckpt, dict) and "model" in ckpt and isinstance(ckpt["model"], dict):
         return ckpt["model"]
     return ckpt
+
+
+# ---------------------------------------------------------------------------
+# OpenShape pc baseline checkpoints (VitLens-OpenShape/src/models/{ppat,
+# dgcnn,pointnet2}.py) -> models/pc_baselines.py params
+# ---------------------------------------------------------------------------
+
+
+def _conv1x1_2d(sd: Mapping[str, Any], name: str) -> Params:
+    """Conv2d kernel 1x1 -> matmul params."""
+    w = _np(sd[f"{name}.weight"])  # [out, in, 1, 1]
+    p = {"w": jnp.asarray(w[..., 0, 0].T, jnp.float32)}
+    if f"{name}.bias" in sd:
+        p["b"] = _j(sd[f"{name}.bias"])
+    return p
+
+
+def _convert_sa(sd: Mapping[str, Any], n_layers: int) -> Tuple[Params, State]:
+    """PointNetSetAbstraction mlp_convs/mlp_bns (pointnet_util.py:171-184)."""
+    ps, ss = [], []
+    for i in range(n_layers):
+        bn_p, bn_s = _bn(sd, f"mlp_bns.{i}")
+        ps.append({"conv": _conv1x1_2d(sd, f"mlp_convs.{i}"), "bn": bn_p})
+        ss.append({"bn": bn_s})
+    return {"mlp": ps}, {"mlp": ss}
+
+
+def _convert_sa_msg(sd: Mapping[str, Any],
+                    mlp_list) -> Tuple[Params, State]:
+    """PointNetSetAbstractionMsg conv_blocks/bn_blocks
+    (pointnet_util.py:216-231)."""
+    branches, states = [], []
+    for i, mlp in enumerate(mlp_list):
+        ps, ss = [], []
+        for j in range(len(mlp)):
+            bn_p, bn_s = _bn(sd, f"bn_blocks.{i}.{j}")
+            ps.append({"conv": _conv1x1_2d(sd, f"conv_blocks.{i}.{j}"),
+                       "bn": bn_p})
+            ss.append({"bn": bn_s})
+        branches.append(ps)
+        states.append(ss)
+    return {"branches": branches}, {"branches": states}
+
+
+def convert_ppat_state_dict(sd: Mapping[str, Any],
+                            depth: int) -> Tuple[Params, State]:
+    """Projected(PointPatchTransformer, Linear) weights (ppat.py:86-124)."""
+    sd = strip_prefixes(sd)
+    sa_p, sa_s = _convert_sa(sub(sd, "ppat.sa."), 3)
+    layers = []
+    for l in range(depth):
+        pre = f"ppat.transformer.layers.{l}"
+        layers.append({
+            "attn": {
+                "ln": _ln(sd, f"{pre}.0.norm"),
+                "qkv": _linear(sd, f"{pre}.0.fn.to_qkv"),
+                "out": _linear(sd, f"{pre}.0.fn.to_out.0"),
+            },
+            "ff": {
+                "ln": _ln(sd, f"{pre}.1.norm"),
+                "fc": _linear(sd, f"{pre}.1.fn.net.0"),
+                "proj": _linear(sd, f"{pre}.1.fn.net.3"),
+            },
+        })
+    params: Params = {
+        "sa": sa_p,
+        "lift": {"conv": _conv1x1(sd, "ppat.lift.0"),
+                 "ln": _ln(sd, "ppat.lift.2")},
+        "cls_token": _j(sd["ppat.cls_token"]),
+        "blocks": _stack(layers),
+        "proj": _linear(sd, "proj"),
+    }
+    return params, {"sa": sa_s}
+
+
+def convert_dgcnn_state_dict(sd: Mapping[str, Any]) -> Tuple[Params, State]:
+    """DGCNN weights (dgcnn.py:67-101). BN params live under bn{i}.bn
+    (the NoCuDNN wrappers); the convs are Sequential index 0."""
+    sd = strip_prefixes(sd)
+    params: Params = {}
+    state: State = {}
+    for i in range(1, 6):
+        bn_p, bn_s = _bn(sd, f"bn{i}.bn")
+        conv = (_conv1x1_2d(sd, f"conv{i}.0") if i < 5
+                else _conv1x1(sd, f"conv{i}.0"))
+        params[f"conv{i}"] = {"conv": conv, "bn": bn_p}
+        state[f"conv{i}"] = {"bn": bn_s}
+    params["linear1"] = _linear(sd, "linear1")
+    params["bn6"], state["bn6"] = _bn(sd, "bn6")
+    params["linear2"] = _linear(sd, "linear2")
+    return params, state
+
+
+def convert_pointnet2_state_dict(
+        sd: Mapping[str, Any]) -> Tuple[Params, State]:
+    """pointnet2.get_model weights (pointnet2.py:6-20)."""
+    sd = strip_prefixes(sd)
+    params: Params = {}
+    state: State = {}
+    params["sa1"], state["sa1"] = _convert_sa_msg(
+        sub(sd, "sa1."), [[32, 32, 64], [64, 64, 128], [64, 96, 128]])
+    params["sa2"], state["sa2"] = _convert_sa_msg(
+        sub(sd, "sa2."), [[64, 64, 128], [128, 128, 256], [128, 128, 256]])
+    params["sa3"], state["sa3"] = _convert_sa(sub(sd, "sa3."), 3)
+    for i, n in ((1, 512), (2, 256)):
+        params[f"fc{i}"] = _linear(sd, f"fc{i}")
+        params[f"bn{i}"], state[f"bn{i}"] = _bn(sd, f"bn{i}")
+    params["fc3"] = _linear(sd, "fc3")
+    return params, state
