@@ -44,6 +44,9 @@ class TrainArgs:
     csv_separator: str = "\t"         # params.py --csv-separator
     csv_img_key: str = "filepath"     # params.py --csv-img-key
     csv_caption_key: str = "title"    # params.py --csv-caption-key
+    # image train-aug kwargs (params.py:402 --aug-cfg, e.g.
+    # `--aug-cfg use_timm=True re_prob=0.25 color_jitter=0.4`)
+    aug_cfg: dict = field(default_factory=dict)
     batch_size: int = 32              # per-chip
     workers: int = 4
     train_num_samples: Optional[int] = None
@@ -148,11 +151,32 @@ def _add_bool(p, name, default, help=""):
                    action=argparse.BooleanOptionalAction, help=help)
 
 
+class _ParseKwargs(argparse.Action):
+    """`--aug-cfg k=v [k=v ...]` (reference params.py ParseKwargs)."""
+
+    def __call__(self, parser, ns, values, option_string=None):
+        import ast
+
+        kw = {}
+        for item in values:
+            k, _, v = item.partition("=")
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass  # keep as string
+            kw[k.replace("-", "_")] = v
+        setattr(ns, self.dest, kw)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("vitlens-tpu training")
     d = TrainArgs()
     for f in fields(TrainArgs):
         name = f.name.replace("_", "-")
+        if f.name == "aug_cfg":
+            p.add_argument("--aug-cfg", nargs="*", action=_ParseKwargs,
+                           default={})
+            continue
         if f.type == "bool" or isinstance(f.default, bool):
             _add_bool(p, name, f.default)
         else:

@@ -93,13 +93,21 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
     if args.dataset_type == "csv":
         # classic image-text CSV training (reference data.py:150-170)
         from vitlens_tpu.data.loader import CsvDataset
-        from vitlens_tpu.data.processors import ImageProcessor, TextProcessor
+        from vitlens_tpu.data.processors import (
+            ImageProcessor,
+            TextProcessor,
+            TrainImageProcessor,
+        )
 
         size = args.force_image_size or 224
+        img_proc = (TrainImageProcessor(image_size=size,
+                                        aug_cfg=args.aug_cfg,
+                                        seed=args.seed)
+                    if train else ImageProcessor(image_size=size))
         return CsvDataset(spec, img_key=args.csv_img_key,
                           caption_key=args.csv_caption_key,
                           sep=args.csv_separator,
-                          image_processor=ImageProcessor(image_size=size),
+                          image_processor=img_proc,
                           text_processor=TextProcessor())
     m = args.modality
     if m == "audio":

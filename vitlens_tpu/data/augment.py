@@ -12,7 +12,8 @@ Mirrors the reference semantics with explicit RNG:
 
 from __future__ import annotations
 
-from typing import Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -113,9 +114,34 @@ def waveform_mixup(wf_a: np.ndarray, wf_b: np.ndarray,
 # -- image train transform --------------------------------------------------
 
 
+@dataclass
+class AugmentationCfg:
+    """Mirror of the reference AugmentationCfg (open_clip/transform.py:22-30).
+
+    `use_timm=False` -> plain RandomResizedCrop(scale) like the reference
+    default branch. `use_timm=True` mirrors what the reference's
+    timm.data.create_transform call actually enables (transform.py:102-121:
+    hflip=0, re_mode='pixel', interpolation defaulting to 'random',
+    color_jitter disabled by default, and NO auto-augment — AugmentationCfg
+    carries no aa field): RRC with randomly alternating bicubic/bilinear,
+    optional color jitter, and per-pixel-noise random erasing."""
+
+    scale: Tuple[float, float] = (0.9, 1.0)
+    ratio: Optional[Tuple[float, float]] = None
+    color_jitter: Optional[object] = None  # float or (b, c, s)
+    interpolation: Optional[str] = None    # None/'random'|'bicubic'|'bilinear'
+    re_prob: Optional[float] = None
+    re_count: Optional[int] = None
+    use_timm: bool = False
+
+
+_PIL_INTERP = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR}
+
+
 def random_resized_crop(img: Image.Image, rng: np.random.RandomState,
                         size: int = 224, scale=(0.9, 1.0),
-                        ratio=(3 / 4, 4 / 3)) -> Image.Image:
+                        ratio=(3 / 4, 4 / 3),
+                        interpolation=Image.BICUBIC) -> Image.Image:
     w, h = img.size
     area = w * h
     for _ in range(10):
@@ -127,23 +153,91 @@ def random_resized_crop(img: Image.Image, rng: np.random.RandomState,
         if 0 < cw <= w and 0 < ch <= h:
             left = rng.randint(0, w - cw + 1)
             top = rng.randint(0, h - ch + 1)
-            return img.resize((size, size), Image.BICUBIC,
+            return img.resize((size, size), interpolation,
                               box=(left, top, left + cw, top + ch))
     # fallback: center crop
     m = min(w, h)
     left, top = (w - m) // 2, (h - m) // 2
-    return img.resize((size, size), Image.BICUBIC,
+    return img.resize((size, size), interpolation,
                       box=(left, top, left + m, top + m))
 
 
+def color_jitter_pil(img: Image.Image, rng: np.random.RandomState,
+                     strength) -> Image.Image:
+    """torchvision ColorJitter semantics for (brightness, contrast,
+    saturation): factor ~ U[max(0, 1-v), 1+v], applied in random order.
+    A scalar strength applies to all three (timm create_transform)."""
+    from PIL import ImageEnhance
+
+    if np.isscalar(strength):
+        strength = (strength, strength, strength)
+    enhancers = [ImageEnhance.Brightness, ImageEnhance.Contrast,
+                 ImageEnhance.Color]
+    order = rng.permutation(3)
+    for i in order:
+        v = float(strength[i])
+        if v <= 0:
+            continue
+        factor = rng.uniform(max(0.0, 1.0 - v), 1.0 + v)
+        img = enhancers[i](img).enhance(factor)
+    return img
+
+
+def random_erasing(arr: np.ndarray, rng: np.random.RandomState,
+                   prob: float, count: int = 1,
+                   area_range=(0.02, 1 / 3), min_aspect: float = 0.3,
+                   ) -> np.ndarray:
+    """timm RandomErasing, re_mode='pixel' (the reference's fixed choice,
+    transform.py:119): with probability `prob`, erase `count` rectangles
+    (each 0.02..1/3 of image area / count, log-uniform aspect) filling with
+    per-pixel standard-normal noise. arr is normalized CHW."""
+    if rng.rand() >= prob:
+        return arr
+    arr = arr.copy()
+    _, h, w = arr.shape
+    log_ar = (np.log(min_aspect), np.log(1.0 / min_aspect))
+    for _ in range(max(1, count)):
+        for _attempt in range(10):
+            target = rng.uniform(*area_range) * h * w / max(1, count)
+            aspect = np.exp(rng.uniform(*log_ar))
+            eh = int(round(np.sqrt(target * aspect)))
+            ew = int(round(np.sqrt(target / aspect)))
+            if 0 < eh < h and 0 < ew < w:
+                top = rng.randint(0, h - eh + 1)
+                left = rng.randint(0, w - ew + 1)
+                arr[:, top:top + eh, left:left + ew] = rng.randn(
+                    arr.shape[0], eh, ew).astype(arr.dtype)
+                break
+    return arr
+
+
 def train_image_transform(img: Image.Image, rng: np.random.RandomState,
-                          size: int = 224, mean=None, std=None) -> np.ndarray:
+                          size: int = 224, mean=None, std=None,
+                          aug: Optional[AugmentationCfg] = None) -> np.ndarray:
     from vitlens_tpu.config import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
 
     mean = mean or OPENAI_DATASET_MEAN
     std = std or OPENAI_DATASET_STD
-    img = random_resized_crop(img.convert("RGB"), rng, size)
+    aug = aug or AugmentationCfg()
+
+    interp = Image.BICUBIC
+    if aug.use_timm:
+        name = aug.interpolation or "random"
+        if name == "random":
+            interp = _PIL_INTERP[("bicubic", "bilinear")[rng.randint(2)]]
+        else:
+            interp = _PIL_INTERP[name]
+    img = random_resized_crop(img.convert("RGB"), rng, size,
+                              scale=tuple(aug.scale),
+                              ratio=tuple(aug.ratio or (3 / 4, 4 / 3)),
+                              interpolation=interp)
+    if aug.use_timm and aug.color_jitter:
+        img = color_jitter_pil(img, rng, aug.color_jitter)
     arr = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
     mean = np.asarray(mean, np.float32)[:, None, None]
     stdv = np.asarray(std, np.float32)[:, None, None]
-    return (arr - mean) / stdv
+    arr = (arr - mean) / stdv
+    if aug.use_timm and aug.re_prob:
+        arr = random_erasing(arr, rng, float(aug.re_prob),
+                             int(aug.re_count or 1))
+    return arr

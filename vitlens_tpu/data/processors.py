@@ -122,6 +122,29 @@ class ImageProcessor:
         return np.stack(out)
 
 
+class TrainImageProcessor(ImageProcessor):
+    """Train transform (reference transform.py:90-137 image_transform
+    is_train branch): RandomResizedCrop + normalize, with the optional
+    timm-style extras (--aug-cfg use_timm=True: random interpolation,
+    color jitter, pixel-mode random erasing) from data/augment.py."""
+
+    def __init__(self, image_size: int = 224, mean=None, std=None,
+                 aug_cfg=None, seed: int = 0):
+        from vitlens_tpu.data.augment import AugmentationCfg
+
+        super().__init__(image_size=image_size, mean=mean, std=std)
+        if isinstance(aug_cfg, dict):
+            aug_cfg = AugmentationCfg(**aug_cfg)
+        self.aug = aug_cfg or AugmentationCfg()
+        self.rng = np.random.RandomState(seed)
+
+    def process_pil(self, img: Image.Image) -> np.ndarray:
+        from vitlens_tpu.data.augment import train_image_transform
+
+        return train_image_transform(img, self.rng, self.image_size,
+                                     self.mean, self.std, self.aug)
+
+
 class TactileProcessor(ImageProcessor):
     """GelSight frames: Resize smaller edge -> 256, CenterCrop 224
     (tact_processor.py:286-295)."""
