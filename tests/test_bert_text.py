@@ -1,0 +1,105 @@
+"""TPU-native BERT text tower vs transformers BertModel (offline: a tiny
+BertConfig built from config, no weight download). Mirrors the reference
+HFTextEncoder semantics (hf_model.py:107-231)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitlens_tpu.models import bert_text as BT
+from tests.helpers import rel_err
+
+transformers = pytest.importorskip("transformers")
+
+
+def _tiny_bert(seed=0):
+    import torch
+
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(vocab_size=99, hidden_size=32, num_hidden_layers=3,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=40, hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0, hidden_act="gelu")
+    torch.manual_seed(seed)
+    model = BertModel(cfg)
+    model.eval()
+    return model, cfg
+
+
+def test_bert_encoder_parity():
+    import torch
+
+    model, cfg = _tiny_bert()
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 99, size=(2, 11)).astype(np.int64)
+    mask = np.ones((2, 11), np.int64)
+    mask[1, 7:] = 0
+
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask))
+
+    params = BT.convert_hf_bert_state_dict(model.state_dict())
+    hidden, pooled = BT.bert_encoder_apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        heads=cfg.num_attention_heads)
+    # padded positions differ (torch computes them, we also compute them —
+    # compare only the real tokens)
+    got = np.asarray(hidden)
+    want = out.last_hidden_state.numpy()
+    assert rel_err(got[0], want[0]) < 1e-4
+    assert rel_err(got[1, :7], want[1, :7]) < 1e-4
+    assert rel_err(np.asarray(pooled), out.pooler_output.numpy()) < 1e-4
+
+
+@pytest.mark.parametrize("pooler_type", [
+    "mean_pooler", "cls_pooler", "cls_last_hidden_state_pooler"])
+def test_full_encode_with_poolers(pooler_type):
+    import torch
+
+    model, cfg = _tiny_bert(seed=1)
+    rng = np.random.RandomState(1)
+    ids = rng.randint(1, 99, size=(2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    mask[0, 5:] = 0
+
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask))
+        if pooler_type == "mean_pooler":
+            m = torch.from_numpy(mask).unsqueeze(-1)
+            want = (out.last_hidden_state * m).sum(1) / m.sum(1)
+        elif pooler_type == "cls_pooler":
+            want = out.pooler_output
+        else:
+            want = out.last_hidden_state[:, 0]
+
+    enc = BT.convert_hf_bert_state_dict(model.state_dict())
+    proj = BT.proj_init(jax.random.PRNGKey(0), cfg.hidden_size, 16,
+                        proj="mlp")
+    feats = BT.bert_text_encode(
+        {"encoder": enc, "proj": proj}, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(mask, jnp.int32), heads=cfg.num_attention_heads,
+        pooler_type=pooler_type)
+    assert feats.shape == (2, 16)
+
+    pooled = BT.pool(jnp.asarray(out.last_hidden_state.numpy()),
+                     jnp.asarray(out.pooler_output.numpy()),
+                     jnp.asarray(mask, jnp.int32), pooler_type)
+    assert rel_err(np.asarray(pooled), want.numpy()) < 1e-5
+
+
+def test_random_init_and_jit():
+    p = BT.bert_encoder_init(jax.random.PRNGKey(0), vocab_size=50, hidden=16,
+                             layers=2, heads=2, intermediate=32,
+                             max_positions=12)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 50, (3, 12)),
+                      jnp.int32)
+    proj = BT.proj_init(jax.random.PRNGKey(1), 16, 8)
+    fn = jax.jit(lambda ids: BT.bert_text_encode(
+        {"encoder": p, "proj": proj}, ids, None, heads=2))
+    out = np.asarray(fn(ids))
+    assert out.shape == (3, 8) and np.isfinite(out).all()
