@@ -82,6 +82,119 @@ PRETRAINED_REGISTRY: Dict[str, Dict[str, Any]] = {
     "RN101/openai": dict(
         url=f"{_OPENAI_CLIP}/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
         quick_gelu=True),
+    # --- remaining reference registry tags (pretrained.py:24-398):
+    # RN family -> models/resnet.py; ViT-B variants; roberta/xlm CLIP
+    # (text via models/bert_text.py); CoCa -> models/coca.py. convnext
+    # tags are NOT carried (timm tower absent from this image). ---
+    "RN50/yfcc15m": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/rn50-quickgelu-yfcc15m-455df137.pt",
+        quick_gelu=True),
+    "RN50/cc12m": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/rn50-quickgelu-cc12m-f000538c.pt",
+        quick_gelu=True),
+    "RN50-quickgelu/openai": dict(
+        url="https://openaipublic.azureedge.net/clip/models/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+        quick_gelu=True),
+    "RN50-quickgelu/yfcc15m": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/rn50-quickgelu-yfcc15m-455df137.pt",
+        quick_gelu=True),
+    "RN50-quickgelu/cc12m": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/rn50-quickgelu-cc12m-f000538c.pt",
+        quick_gelu=True),
+    "RN101/yfcc15m": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/rn101-quickgelu-yfcc15m-3e04b30e.pt",
+        quick_gelu=True),
+    "RN101-quickgelu/openai": dict(
+        url="https://openaipublic.azureedge.net/clip/models/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+        quick_gelu=True),
+    "RN101-quickgelu/yfcc15m": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/rn101-quickgelu-yfcc15m-3e04b30e.pt",
+        quick_gelu=True),
+    "RN50x4/openai": dict(
+        url="https://openaipublic.azureedge.net/clip/models/7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd/RN50x4.pt",
+        quick_gelu=True),
+    "RN50x16/openai": dict(
+        url="https://openaipublic.azureedge.net/clip/models/52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa/RN50x16.pt",
+        quick_gelu=True),
+    "RN50x64/openai": dict(
+        url="https://openaipublic.azureedge.net/clip/models/be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543a9919d9c/RN50x64.pt",
+        quick_gelu=True),
+    "ViT-B-32/laion400m_e31": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_32-quickgelu-laion400m_e31-d867053b.pt",
+        quick_gelu=True),
+    "ViT-B-32/laion400m_e32": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_32-quickgelu-laion400m_e32-46683a32.pt",
+        quick_gelu=True),
+    "ViT-B-32/laion2b_e16": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_32-laion2b_e16-af8dbd0c.pth",
+        quick_gelu=False),
+    "ViT-B-32-quickgelu/openai": dict(
+        url="https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+        quick_gelu=True),
+    "ViT-B-32-quickgelu/laion400m_e31": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_32-quickgelu-laion400m_e31-d867053b.pt",
+        quick_gelu=True),
+    "ViT-B-32-quickgelu/laion400m_e32": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_32-quickgelu-laion400m_e32-46683a32.pt",
+        quick_gelu=True),
+    "ViT-B-32/commonpool_m_clip_s128m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.clip-s128M-b4K/", quick_gelu=False),
+    "ViT-B-32/commonpool_s_clip_s13m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.clip-s13M-b4K/", quick_gelu=False),
+    "ViT-B-16/commonpool_l_clip_s1b_b8k": dict(
+        hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.clip-s1B-b8K/", quick_gelu=False),
+    "ViT-B-32/commonpool_m_laion_s128m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.laion-s128M-b4K/", quick_gelu=False),
+    "ViT-B-32/commonpool_s_laion_s13m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.laion-s13M-b4K/", quick_gelu=False),
+    "ViT-B-16/commonpool_l_laion_s1b_b8k": dict(
+        hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.laion-s1B-b8K/", quick_gelu=False),
+    "ViT-B-32/commonpool_m_image_s128m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.image-s128M-b4K/", quick_gelu=False),
+    "ViT-B-32/commonpool_s_image_s13m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.image-s13M-b4K/", quick_gelu=False),
+    "ViT-B-16/commonpool_l_image_s1b_b8k": dict(
+        hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.image-s1B-b8K/", quick_gelu=False),
+    "ViT-B-32/commonpool_m_text_s128m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.text-s128M-b4K/", quick_gelu=False),
+    "ViT-B-32/commonpool_s_text_s13m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.text-s13M-b4K/", quick_gelu=False),
+    "ViT-B-16/commonpool_l_text_s1b_b8k": dict(
+        hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.text-s1B-b8K/", quick_gelu=False),
+    "ViT-B-32/commonpool_m_basic_s128m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.M.basic-s128M-b4K/", quick_gelu=False),
+    "ViT-B-32/commonpool_s_basic_s13m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.S.basic-s13M-b4K/", quick_gelu=False),
+    "ViT-B-16/commonpool_l_basic_s1b_b8k": dict(
+        hf_hub="laion/CLIP-ViT-B-16-CommonPool.L.basic-s1B-b8K/", quick_gelu=False),
+    "ViT-B-32/commonpool_m_s128m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.M-s128M-b4K/", quick_gelu=False),
+    "ViT-B-32/commonpool_s_s13m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-CommonPool.S-s13M-b4K/", quick_gelu=False),
+    "ViT-B-16/commonpool_l_s1b_b8k": dict(
+        hf_hub="laion/CLIP-ViT-B-16-CommonPool.L-s1B-b8K/", quick_gelu=False),
+    "ViT-B-32/datacomp_s_s13m_b4k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-DataComp.S-s13M-b4K/", quick_gelu=False),
+    "ViT-B-16-plus-240/laion400m_e31": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_16_plus_240-laion400m_e31-8fb26589.pt",
+        quick_gelu=False),
+    "ViT-B-16-plus-240/laion400m_e32": dict(
+        url="https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_16_plus_240-laion400m_e32-699c4b84.pt",
+        quick_gelu=False),
+    "roberta-ViT-B-32/laion2b_s12b_b32k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k/", quick_gelu=False),
+    "xlm-roberta-base-ViT-B-32/laion5b_s13b_b90k": dict(
+        hf_hub="laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k/", quick_gelu=False),
+    "xlm-roberta-large-ViT-H-14/frozen_laion5b_s13b_b90k": dict(
+        hf_hub="laion/CLIP-ViT-H-14-frozen-xlm-roberta-large-laion5B-s13B-b90k/", quick_gelu=False),
+    "coca_ViT-B-32/laion2b_s13b_b90k": dict(
+        hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k/", quick_gelu=False),
+    "coca_ViT-B-32/mscoco_finetuned_laion2b_s13b_b90k": dict(
+        hf_hub="laion/mscoco_finetuned_CoCa-ViT-B-32-laion2B-s13B-b90k/", quick_gelu=False),
+    "coca_ViT-L-14/laion2b_s13b_b90k": dict(
+        hf_hub="laion/CoCa-ViT-L-14-laion2B-s13B-b90k/", quick_gelu=False),
+    "coca_ViT-L-14/mscoco_finetuned_laion2b_s13b_b90k": dict(
+        hf_hub="laion/mscoco_finetuned_CoCa-ViT-L-14-laion2B-s13B-b90k/", quick_gelu=False),
     # --- released ViT-Lens checkpoints (MODEL_ZOO.md; HF TencentARC/ViT-Lens) ---
     "vitlensL": dict(hf_hub="TencentARC/ViT-Lens/vitlensL.pt"),
     "vitlensL_pc": dict(hf_hub="TencentARC/ViT-Lens/vitlensL_pc.pt"),
