@@ -139,3 +139,29 @@ def test_triplet_dataset_and_eval(tmp_path):
     out = OS.precomputed_text_eval(preds, np.array([0, 1, 2, 2, 4]), cls_feats)
     assert out["top1"] == 1.0
     assert out["class_top1"] == 1.0
+
+
+def test_openshape_loss_with_pc_baseline():
+    """pc_model != clipbind routes through the baseline encoders
+    (reference config model.name; models/__init__.py dispatch)."""
+    rng = np.random.RandomState(1)
+    tower = None  # unused on the baseline path
+    batch = {
+        "xyz_features": jnp.asarray(rng.randn(4, 64, 6), jnp.float32),
+        "text_feat": jnp.asarray(rng.randn(4, 24), jnp.float32),
+        "img_feat": jnp.asarray(rng.randn(4, 24), jnp.float32),
+    }
+    for name in ("DGCNN", "PointBERT"):
+        params, state = OS.baseline_bind_init(
+            jax.random.PRNGKey(0), name, in_channel=6, out_channel=24,
+            scaling=1)
+        loss, (metrics, new_state) = OS.openshape_loss(
+            params, state, batch, tower, train=True, pc_model=name,
+            pc_scaling=1, fps_key=jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss)), name
+        g = jax.grad(lambda p: OS.openshape_loss(
+            p, state, batch, tower, train=True, pc_model=name, pc_scaling=1,
+            fps_key=jax.random.PRNGKey(1))[0])(params)
+        gn = np.sqrt(sum(float(np.sum(np.square(np.asarray(x))))
+                         for x in jax.tree.leaves(g["encoder"])))
+        assert gn > 0, name

@@ -50,6 +50,13 @@ def build_args(argv=None):
     p.add_argument("--negative-sample-num", type=int, default=1)
     p.add_argument("--use-text-proj", action="store_true")
     p.add_argument("--use-image-proj", action="store_true")
+    # reference config model.name: the shipped CLIPBind Lens tower or a
+    # comparison baseline (VitLens-OpenShape/src/models/__init__.py)
+    p.add_argument("--pc-model", default="clipbind",
+                   choices=["clipbind", "PointBERT", "DGCNN", "PointNet",
+                            "PointNet2"])
+    p.add_argument("--pc-scaling", type=int, default=3)
+    p.add_argument("--pc-in-channel", type=int, default=6)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--logs", default="./logs")
     p.add_argument("--name", default=None)
@@ -97,9 +104,16 @@ def main(argv=None) -> int:
 
     tower = tower_config(args)
     dt = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    params, state = OS.clip_bind_init(jax.random.PRNGKey(args.seed), tower,
-                                      args.out_channel)
-    lr_scale = OS.trunk_lr_scale(params, args.trunk_lr_scale)
+    if args.pc_model == "clipbind":
+        params, state = OS.clip_bind_init(jax.random.PRNGKey(args.seed),
+                                          tower, args.out_channel)
+        lr_scale = OS.trunk_lr_scale(params, args.trunk_lr_scale)
+    else:
+        params, state = OS.baseline_bind_init(
+            jax.random.PRNGKey(args.seed), args.pc_model,
+            in_channel=args.pc_in_channel, out_channel=args.out_channel,
+            scaling=args.pc_scaling)
+        lr_scale = jax.tree.map(lambda _: jnp.asarray(1.0), params)
 
     files = sorted(glob.glob(args.train_files)) if args.train_files else []
     if not files:
@@ -148,6 +162,8 @@ def main(argv=None) -> int:
             use_text_proj=args.use_text_proj,
             use_image_proj=args.use_image_proj,
             mask=mask, axis_name=axis, compute_dtype=dt, fps_key=fps_key,
+            pc_model=args.pc_model, pc_scaling=args.pc_scaling,
+            pc_in_channel=args.pc_in_channel,
         )
 
     def step(p, s, opt, batch, fps_key):
@@ -213,7 +229,12 @@ def _run_eval(args, params, state, tower, dt, writer, gstep):
 
     @jax.jit
     def enc(p, s, x):
-        f, _ = OS.clip_bind_apply(p, s, x, tower, compute_dtype=dt)
+        if args.pc_model == "clipbind":
+            f, _ = OS.clip_bind_apply(p, s, x, tower, compute_dtype=dt)
+        else:
+            f, _ = OS.baseline_bind_apply(
+                p, s, x, args.pc_model, in_channel=args.pc_in_channel,
+                out_channel=cls_feats.shape[-1], scaling=args.pc_scaling)
         return f
 
     info = build_loader(ds, batch_size=args.batch_size, shuffle=False,

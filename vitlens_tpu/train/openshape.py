@@ -109,6 +109,57 @@ def clip_bind_apply(params: Params, state: Params, xyz_features: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# pc baseline encoders behind the same bind surface
+# (reference models/__init__.py::make switch, main.py model construction)
+# ---------------------------------------------------------------------------
+
+
+def baseline_bind_init(key, name: str, *, in_channel: int = 6,
+                       out_channel: int = 1280,
+                       scaling: int = 3) -> Tuple[Params, Params]:
+    """Like clip_bind_init but with a pc baseline (PointBERT/DGCNN/PointNet/
+    PointNet2, models/pc_baselines.py) as the encoder."""
+    from vitlens_tpu.models.pc_baselines import make_pc_baseline
+
+    init, _ = make_pc_baseline(name, in_channel=in_channel,
+                               out_channel=out_channel, scaling=scaling)
+    k_enc, k_ip, k_tp = jax.random.split(key, 3)
+    enc_p, enc_s = init(k_enc)
+    params: Params = {
+        "encoder": enc_p,
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+        "image_proj": {"w": _kaiming_uniform(k_ip, (out_channel, out_channel)),
+                       "b": jnp.zeros((out_channel,))},
+        "text_proj": {"w": _kaiming_uniform(k_tp, (out_channel, out_channel)),
+                      "b": jnp.zeros((out_channel,))},
+    }
+    return params, {"encoder": enc_s}
+
+
+def baseline_bind_apply(params: Params, state: Params,
+                        xyz_features: jnp.ndarray, name: str, *,
+                        in_channel: int = 6, out_channel: int = 1280,
+                        scaling: int = 3, train: bool = False,
+                        compute_dtype=jnp.float32, fps_key=None,
+                        bn_axis_name=None) -> Tuple[jnp.ndarray, Params]:
+    """xyz_features [B, N, 3(+D)] -> [B, out_channel] through a baseline.
+    Same contract as clip_bind_apply (the trainer's forward_model dense
+    path, reference train.py:193-219 model(xyz, features))."""
+    del compute_dtype  # baselines are small; run them fp32
+    from vitlens_tpu.models.pc_baselines import make_pc_baseline
+
+    _, apply = make_pc_baseline(name, in_channel=in_channel,
+                                out_channel=out_channel, scaling=scaling)
+    xyz = xyz_features[..., :3].astype(jnp.float32)
+    feats = xyz_features.astype(jnp.float32)
+    kw = dict(train=train, bn_axis_name=bn_axis_name)
+    if name in ("PointBERT", "PointNet2"):
+        kw["fps_key"] = fps_key
+    emb, new_s = apply(params["encoder"], state["encoder"], xyz, feats, **kw)
+    return emb, {"encoder": new_s}
+
+
+# ---------------------------------------------------------------------------
 # losses + masks
 # ---------------------------------------------------------------------------
 
@@ -192,14 +243,27 @@ def openshape_loss(
     compute_dtype=jnp.float32,
     train: bool = True,
     fps_key=None,
+    pc_model: str = "clipbind",
+    pc_scaling: int = 3,
+    pc_in_channel: int = 6,
 ):
     """Full OpenShape step loss (train.py:255-330): pred vs precomputed
-    text_feat and img_feat."""
-    pred, new_state = clip_bind_apply(
-        params, state, batch["xyz_features"], tower_cfg,
-        train=train, compute_dtype=compute_dtype, fps_key=fps_key,
-        bn_axis_name=axis_name,
-    )
+    text_feat and img_feat. `pc_model` selects the shipped CLIPBind Lens
+    tower or one of the comparison baselines (reference config
+    model.name)."""
+    if pc_model == "clipbind":
+        pred, new_state = clip_bind_apply(
+            params, state, batch["xyz_features"], tower_cfg,
+            train=train, compute_dtype=compute_dtype, fps_key=fps_key,
+            bn_axis_name=axis_name,
+        )
+    else:
+        pred, new_state = baseline_bind_apply(
+            params, state, batch["xyz_features"], pc_model,
+            in_channel=pc_in_channel,
+            out_channel=batch["text_feat"].shape[-1], scaling=pc_scaling,
+            train=train, fps_key=fps_key, bn_axis_name=axis_name,
+        )
     scale = jnp.exp(params["logit_scale"])
     text_feat = batch["text_feat"].astype(jnp.float32)
     img_feat = batch["img_feat"].astype(jnp.float32)
