@@ -15,10 +15,11 @@ fp32 accumulation. Mosaic lowers neither erf nor erfc, so exact-erf GELU
 approximation (max abs error 1.5e-7 — below fp32 LN noise, far below bf16
 rounding at 2^-8).
 
-Backward: custom_vjp that re-runs the XLA reference expression under
-jax.vjp — the same recompute the training step already pays under full
-remat (train/step.py), so training keeps exact XLA gradients while every
-forward (and every frozen-tower forward) takes the fast kernel.
+Backward: custom_vjp with a direct formula. The diff-path forward streams
+the pre-activation out of the kernel as a residual, so the backward runs
+exactly the 4 grad matmuls (dW2, dh, dW1, dy) + the closed-form LN/act
+derivatives — no forward recompute beyond what remat itself replays.
+Verified against jax.grad of the XLA reference (tests/test_fused_mlp.py).
 
 Reference semantics being accelerated: open_clip/transformer.py:253-272
 (ResidualAttentionBlock.mlp path).
@@ -27,6 +28,7 @@ Reference semantics being accelerated: open_clip/transformer.py:253-272
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict
 
 import jax
@@ -57,7 +59,7 @@ _KERNEL_ACTS = {"gelu": _gelu_erf_approx, "quick_gelu": _quick_gelu}
 
 
 def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            out_ref, *, act: str, eps: float):
+            out_ref, *refs, act: str, eps: float):
     x32 = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -65,17 +67,20 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y32 = y32 * lnw_ref[0, :] + lnb_ref[0, :]
     y = y32.astype(x_ref.dtype)
 
-    h32 = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
-    h = _KERNEL_ACTS[act](h32 + b1_ref[0, :]).astype(x_ref.dtype)
+    a32 = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    a32 = a32 + b1_ref[0, :]
+    h = _KERNEL_ACTS[act](a32).astype(x_ref.dtype)
     part = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] = (x32 + b2_ref[0, :] + part).astype(out_ref.dtype)
+    if refs:  # save_preact: pre-activation residual for the backward pass
+        refs[0][:] = a32.astype(refs[0].dtype)
 
 
 _INTERPRET = False  # tests flip this to run the kernel on CPU
 
 
 def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
-                      tm: int = 512):
+                      tm: int = 512, save_preact: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -83,7 +88,14 @@ def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
     hidden = w1.shape[1]
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),  # noqa: E731
                                  memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((m, d), x.dtype)]
+    out_specs = [pl.BlockSpec((tm, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if save_preact:
+        out_shape.append(jax.ShapeDtypeStruct((m, hidden), x.dtype))
+        out_specs.append(pl.BlockSpec((tm, hidden), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
         functools.partial(_kernel, act=act, eps=eps),
         grid=(pl.cdiv(m, tm),),
         in_specs=[
@@ -97,9 +109,8 @@ def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
                          memory_space=pltpu.VMEM),
             row(d),
         ],
-        out_specs=pl.BlockSpec((tm, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             # default 16 MB scoped VMEM rejects the resident weights;
@@ -113,6 +124,7 @@ def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
         ),
         interpret=_INTERPRET,
     )(x, lnw, lnb, w1, b1, w2, b2)
+    return out if save_preact else out[0]
 
 
 def _xla_reference(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float):
@@ -129,6 +141,16 @@ def _xla_reference(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float):
     return x + (h @ w2 + b2[0].astype(x.dtype))
 
 
+def _act_and_grad(act: str, a32: jnp.ndarray):
+    """h = act(a), dh/da — exact closed forms in fp32."""
+    if act == "gelu":
+        cdf = 0.5 * (1.0 + jax.lax.erf(a32 * (2.0 ** -0.5)))
+        pdf = jnp.exp(-0.5 * a32 * a32) * (1.0 / math.sqrt(2.0 * math.pi))
+        return a32 * cdf, cdf + a32 * pdf
+    s = jax.nn.sigmoid(1.702 * a32)
+    return a32 * s, s + a32 * 1.702 * s * (1.0 - s)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_op(act: str, eps: float):
     @jax.custom_vjp
@@ -137,14 +159,42 @@ def _make_op(act: str, eps: float):
                                  act=act, eps=eps)
 
     def fwd(x, lnw, lnb, w1, b1, w2, b2):
-        return op(x, lnw, lnb, w1, b1, w2, b2), (x, lnw, lnb, w1, b1, w2, b2)
+        # the diff path additionally streams out the pre-activation so the
+        # backward needs NO forward recompute (4 grad matmuls only — the
+        # same count as the plain-XLA backward, minus its remat-forward)
+        out, a = _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2,
+                                   act=act, eps=eps, save_preact=True)
+        return out, (x, a, lnw, lnb, w1, w2)
 
     def bwd(res, g):
-        # exact XLA gradients via recompute — the cost the train step
-        # already pays under remat
-        _, vjp = jax.vjp(
-            functools.partial(_xla_reference, act=act, eps=eps), *res)
-        return vjp(g)
+        x, a, lnw, lnb, w1, w2 = res
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + eps)
+        xhat = (x32 - mean) * inv
+        y = (xhat * lnw[0] + lnb[0]).astype(x.dtype)
+
+        h32, dact = _act_and_grad(act, a.astype(jnp.float32))
+        h = h32.astype(x.dtype)
+
+        db2 = jnp.sum(g.astype(jnp.float32), 0, keepdims=True)
+        dw2 = (h.T @ g).astype(w2.dtype)
+        dh = g @ w2.T
+        da32 = dh.astype(jnp.float32) * dact
+        da = da32.astype(x.dtype)
+        db1 = jnp.sum(da32, 0, keepdims=True)
+        dw1 = (y.T @ da).astype(w1.dtype)
+        dy32 = (da @ w1.T).astype(jnp.float32)
+
+        dlnw = jnp.sum(dy32 * xhat, 0, keepdims=True)
+        dlnb = jnp.sum(dy32, 0, keepdims=True)
+        dxhat = dy32 * lnw[0]
+        dx_ln = inv * (dxhat
+                       - jnp.mean(dxhat, -1, keepdims=True)
+                       - xhat * jnp.mean(dxhat * xhat, -1, keepdims=True))
+        dx = (g.astype(jnp.float32) + dx_ln).astype(x.dtype)
+        return dx, dlnw, dlnb, dw1, db1, dw2, db2
 
     op.defvjp(fwd, bwd)
     return op
