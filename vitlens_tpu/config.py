@@ -259,6 +259,81 @@ ARCH_REGISTRY: Dict[str, Dict[str, Any]] = {
         vision=VisionArch(image_size=224, patch_size=14, width=1024, layers=24),
         text=TextArch(width=768, heads=12, layers=12),
     ),
+    # remaining open_clip ViT family (reference model_configs/*.json, exact
+    # transcriptions; resolution variants serve the resize_pos_embed path)
+    "ViT-S-16": dict(
+        embed_dim=384,
+        vision=VisionArch(image_size=224, patch_size=16, width=384, layers=12),
+        text=TextArch(width=384, heads=6, layers=12),
+    ),
+    "ViT-S-32": dict(
+        embed_dim=384,
+        vision=VisionArch(image_size=224, patch_size=32, width=384, layers=12),
+        text=TextArch(width=384, heads=6, layers=12),
+    ),
+    "ViT-M-16": dict(
+        embed_dim=512,
+        vision=VisionArch(image_size=224, patch_size=16, width=512, layers=12),
+        text=TextArch(width=512, heads=8, layers=12),
+    ),
+    "ViT-M-32": dict(
+        embed_dim=512,
+        vision=VisionArch(image_size=224, patch_size=32, width=512, layers=12),
+        text=TextArch(width=512, heads=8, layers=12),
+    ),
+    "ViT-B-16-plus": dict(
+        embed_dim=640,
+        vision=VisionArch(image_size=224, patch_size=16, width=896, layers=12),
+        text=TextArch(width=640, heads=10, layers=12),
+    ),
+    "ViT-B-16-plus-240": dict(
+        embed_dim=640,
+        vision=VisionArch(image_size=240, patch_size=16, width=896, layers=12),
+        text=TextArch(width=640, heads=10, layers=12),
+    ),
+    "ViT-B-32-plus-256": dict(
+        embed_dim=640,
+        vision=VisionArch(image_size=256, patch_size=32, width=896, layers=12),
+        text=TextArch(width=640, heads=10, layers=12),
+    ),
+    "ViT-L-14-280": dict(
+        embed_dim=768,
+        vision=VisionArch(image_size=280, patch_size=14, width=1024, layers=24),
+        text=TextArch(width=768, heads=12, layers=12),
+    ),
+    "ViT-L-14-336": dict(
+        embed_dim=768,
+        vision=VisionArch(image_size=336, patch_size=14, width=1024, layers=24),
+        text=TextArch(width=768, heads=12, layers=12),
+    ),
+    "ViT-L-16": dict(
+        embed_dim=768,
+        vision=VisionArch(image_size=224, patch_size=16, width=1024, layers=24),
+        text=TextArch(width=768, heads=12, layers=12),
+    ),
+    "ViT-L-16-320": dict(
+        embed_dim=768,
+        vision=VisionArch(image_size=320, patch_size=16, width=1024, layers=24),
+        text=TextArch(width=768, heads=12, layers=12),
+    ),
+    "ViT-H-16": dict(
+        embed_dim=1024,
+        vision=VisionArch(image_size=224, patch_size=16, width=1280, layers=32,
+                          head_width=80),
+        text=TextArch(width=1024, heads=16, layers=24),
+    ),
+    "ViT-g-14": dict(
+        embed_dim=1024,
+        vision=VisionArch(image_size=224, patch_size=14, width=1408, layers=40,
+                          head_width=88, mlp_ratio=4.3637),
+        text=TextArch(width=1024, heads=16, layers=24),
+    ),
+    "ViT-e-14": dict(
+        embed_dim=1280,
+        vision=VisionArch(image_size=224, patch_size=14, width=1792, layers=56,
+                          head_width=112, mlp_ratio=8.5715),
+        text=TextArch(width=1280, heads=20, layers=36),
+    ),
     "ViT-H-14": dict(
         embed_dim=1024,
         vision=VisionArch(image_size=224, patch_size=14, width=1280, layers=32, head_width=80),

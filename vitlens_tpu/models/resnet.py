@@ -156,3 +156,31 @@ def convert_modified_resnet(sd, arch: ResNetArch) -> Params:
         "c_proj": lin("attnpool.c_proj"),
     }
     return p
+
+
+# ---------------------------------------------------------------------------
+# RN arch registry (reference model_configs/RN*.json, exact transcriptions;
+# embed_dim/text pairs from the same files). The text tower for an RN CLIP
+# is the standard TextTransformer at these widths.
+# ---------------------------------------------------------------------------
+
+RESNET_ARCH_REGISTRY = {
+    "RN50": dict(arch=ResNetArch(layers=(3, 4, 6, 3), width=64,
+                                 image_size=224, embed_dim=1024, heads=32),
+                 embed_dim=1024, text_width=512, text_heads=8, text_layers=12),
+    "RN101": dict(arch=ResNetArch(layers=(3, 4, 23, 3), width=64,
+                                  image_size=224, embed_dim=512, heads=32),
+                  embed_dim=512, text_width=512, text_heads=8, text_layers=12),
+    "RN50x4": dict(arch=ResNetArch(layers=(4, 6, 10, 6), width=80,
+                                   image_size=288, embed_dim=640, heads=40),
+                   embed_dim=640, text_width=640, text_heads=10,
+                   text_layers=12),
+    "RN50x16": dict(arch=ResNetArch(layers=(6, 8, 18, 8), width=96,
+                                    image_size=384, embed_dim=768, heads=48),
+                    embed_dim=768, text_width=768, text_heads=12,
+                    text_layers=12),
+    "RN50x64": dict(arch=ResNetArch(layers=(3, 15, 36, 10), width=128,
+                                    image_size=448, embed_dim=1024, heads=64),
+                    embed_dim=1024, text_width=1024, text_heads=16,
+                    text_layers=12),
+}
