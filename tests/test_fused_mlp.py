@@ -95,6 +95,15 @@ def test_resblock_dispatch_gating():
     assert not FM.fused_mlp_available()
 
 
+def test_env_kill_switch(monkeypatch):
+    monkeypatch.setenv("VITLENS_DISABLE_FUSED_MLP", "1")
+    monkeypatch.setattr(
+        "vitlens_tpu.ops.attention._flash_available", lambda: True)
+    assert not FM.fused_mlp_available()
+    monkeypatch.delenv("VITLENS_DISABLE_FUSED_MLP")
+    assert FM.fused_mlp_available()
+
+
 def test_fused_block_equals_resblock_mlp_half(monkeypatch):
     """fused_mlp_block on [B,N,D] == the resblock's ln_2/mlp half."""
     from vitlens_tpu.models import layers as L

@@ -113,9 +113,12 @@ def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            # default 16 MB scoped VMEM rejects the resident weights;
-            # v5e has 128 MB
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # the default 16 MB scoped-VMEM cap rejects the resident
+            # weights; actual use is ~40 MB. Keep the cap at 64 MB — caps
+            # near 100 MB made big remat'd training graphs' terminal-side
+            # compile pathologically slow (same symptom CLAUDE.md records
+            # for LIBTPU scoped_vmem=96M).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * m * d * hidden,
@@ -201,6 +204,10 @@ def _make_op(act: str, eps: float):
 
 
 def fused_mlp_available() -> bool:
+    import os
+
+    if os.environ.get("VITLENS_DISABLE_FUSED_MLP"):
+        return False
     from vitlens_tpu.ops.attention import _flash_available
 
     return _flash_available()
