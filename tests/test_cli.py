@@ -222,6 +222,16 @@ def test_openshape_cli(tmp_path):
                "--logs", str(tmp_path / "logs"), "--name", "os"])
     assert rc == 0
 
+    # baseline pc encoder through the same driver (--pc-model, reference
+    # config model.name dispatch)
+    rc = main(["--train-files", str(tmp_path / "*.npy"),
+               "--pc-model", "DGCNN", "--pc-scaling", "1",
+               "--epochs", "1", "--batch-size", "2", "--npoints", "64",
+               "--out-channel", "24", "--precision", "fp32",
+               "--log-every-n-steps", "1",
+               "--logs", str(tmp_path / "logs"), "--name", "os_dgcnn"])
+    assert rc == 0
+
 
 def test_train_cli_audio_retrieval_fixture(tmp_path, monkeypatch):
     """--train-data audiocaps@train steps the REAL retrieval train path
