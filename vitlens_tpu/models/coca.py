@@ -228,6 +228,32 @@ class CoCaConfig:
     contrastive_loss_weight: float = 1.0
 
 
+def make_coca_config(name: str) -> CoCaConfig:
+    """Named presets transcribed from the reference model_configs
+    (coca_ViT-B-32.json / coca_ViT-L-14.json)."""
+    if name == "coca_ViT-B-32":
+        return CoCaConfig(
+            embed_dim=512,
+            vision=VisionArch(image_size=224, patch_size=32, width=768,
+                              layers=12),
+            text=TextArch(context_length=76, width=512, heads=8, layers=12),
+            multimodal=MultimodalArch(context_length=76, width=512, heads=8,
+                                      layers=12),
+            attn_pooler_heads=8,
+        )
+    if name == "coca_ViT-L-14":
+        return CoCaConfig(
+            embed_dim=768,
+            vision=VisionArch(image_size=224, patch_size=14, width=1024,
+                              layers=24),
+            text=TextArch(context_length=76, width=768, heads=12, layers=12),
+            multimodal=MultimodalArch(context_length=76, width=768, heads=12,
+                                      layers=12),
+            attn_pooler_heads=8,
+        )
+    raise KeyError(f"unknown coca config {name!r}")
+
+
 def coca_init(key, cfg: CoCaConfig) -> Tuple[Params, Params]:
     from vitlens_tpu.models.vit import vision_tower_init
 
