@@ -43,24 +43,23 @@ def main() -> int:
     x = jnp.asarray(np.random.RandomState(0).randn(B, N, D) * 0.02,
                     jnp.bfloat16)
 
-    def make_loop(use_fused):
-        def loss(xx):
-            out = L.transformer(xx, params, HEADS, L.gelu, remat=True)
+    def make_step(use_fused):
+        def loss(pp, xx):
+            out = L.transformer(xx, pp, HEADS, L.gelu, remat=True)
             return jnp.mean(out.astype(jnp.float32))
 
-        def body(carry, _):
-            val, gx = jax.value_and_grad(loss)(carry)
-            return carry + 0.0 * gx.astype(carry.dtype), val
-
-        def loop(xx):
-            y, vals = jax.lax.scan(body, xx, None, length=ITERS)
-            return jnp.mean(vals)
+        def step(pp, xx):
+            # params as an ARGUMENT (never a baked constant: 1.2 GB of
+            # closure constants makes lowering/compile pathological)
+            val, gx = jax.value_and_grad(loss, argnums=1)(pp, xx)
+            # tiny outputs only: the tunnel transfers ~55 MB/s
+            return val, jnp.mean(gx.astype(jnp.float32))
 
         # availability is resolved at TRACE time — patch, trace, restore
         orig = FM.fused_mlp_available
         FM.fused_mlp_available = lambda: use_fused
         try:
-            lowered = jax.jit(loop).lower(x)
+            lowered = jax.jit(step).lower(params, x)
         finally:
             FM.fused_mlp_available = orig
         return lowered.compile()
@@ -68,16 +67,17 @@ def main() -> int:
     results = {}
     for name, use_fused in (("xla", False), ("fused", True)):
         t0 = time.time()
-        fn = make_loop(use_fused)
+        fn = make_step(use_fused)
         compile_s = time.time() - t0
+        jax.tree.map(np.asarray, fn(params, x))  # warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(ITERS):
             t0 = time.time()
-            np.asarray(fn(x))
-            best = min(best, (time.time() - t0) / ITERS)
+            jax.tree.map(np.asarray, fn(params, x))
+            best = min(best, time.time() - t0)
         results[name] = best
         print(json.dumps({"name": name, "ms_per_fwdbwd": round(best * 1e3, 2),
-                          "compile_s": round(compile_s, 1)}))
+                          "compile_s": round(compile_s, 1)}), flush=True)
     print(json.dumps({"fused_speedup_vs_xla":
                       round(results["xla"] / results["fused"], 3)}))
     return 0

@@ -79,3 +79,38 @@ def test_mesh_helpers():
     assert M.broadcast_object({"a": 1}) == {"a": 1}
     assert M.all_gather_object(5) == [5]
     assert M.init_distributed() == 0
+
+
+def test_arch_registry_complete():
+    """Every reference model_configs/*.json arch whose tower this build
+    implements resolves; transcription spot-checks."""
+    from vitlens_tpu.config import ARCH_REGISTRY, get_arch
+    from vitlens_tpu.models.resnet import RESNET_ARCH_REGISTRY
+
+    for name in ("ViT-S-16", "ViT-M-32", "ViT-B-16-plus-240",
+                 "ViT-L-14-336", "ViT-H-16", "ViT-g-14", "ViT-e-14"):
+        assert name in ARCH_REGISTRY, name
+    a = get_arch("ViT-e-14")
+    assert a["embed_dim"] == 1280 and a["vision"].layers == 56
+    assert a["vision"].mlp_ratio == 8.5715
+    assert get_arch("ViT-B-16-plus-240")["vision"].image_size == 240
+
+    rn = RESNET_ARCH_REGISTRY
+    assert rn["RN50x64"]["arch"].layers == (3, 15, 36, 10)
+    assert rn["RN50x64"]["arch"].image_size == 448
+    assert rn["RN101"]["embed_dim"] == 512
+
+    from vitlens_tpu.models.coca import make_coca_config
+    assert make_coca_config("coca_ViT-L-14").multimodal.heads == 12
+
+    # every pretrained tag resolves to an arch this build can construct
+    from vitlens_tpu.utils.hub import PRETRAINED_REGISTRY
+    for tag in PRETRAINED_REGISTRY:
+        if "/" not in tag:
+            continue  # released vitlens ckpts
+        model = tag.split("/")[0]
+        base = model.replace("-quickgelu", "")
+        known = (base in ARCH_REGISTRY or base in rn
+                 or base.startswith("coca_")
+                 or "roberta" in base or "xlm" in base)
+        assert known, f"tag {tag} has no constructible arch"
