@@ -35,7 +35,7 @@ from vitlens_tpu.models.layers import (
     linear,
     linear_init,
 )
-from vitlens_tpu.ops.fps import ball_query, fps_indices, knn_indices, square_distance
+from vitlens_tpu.ops.fps import ball_query, fps_indices, knn_indices
 
 Params = Dict[str, Any]
 State = Dict[str, Any]
