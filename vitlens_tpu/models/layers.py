@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from vitlens_tpu.ops.attention import dot_product_attention
+from vitlens_tpu.ops.fused_ln_proj import (
+    fused_ln_proj_applicable,
+    fused_ln_proj_available,
+    fused_ln_qkv,
+)
 from vitlens_tpu.ops.fused_mlp import (
     fused_mlp_applicable,
     fused_mlp_available,
@@ -128,8 +133,19 @@ def mha(
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Self-attention on [B, N, D] with packed qkv."""
-    B, N, D = x.shape
     qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+    return _attn_from_qkv(qkv, p, heads, mask)
+
+
+def _attn_from_qkv(
+    qkv: jnp.ndarray,
+    p: Params,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Attention + out-projection given the packed [B, N, 3D] projection."""
+    B, N, D3 = qkv.shape
+    D = D3 // 3
     q, k, v = jnp.split(qkv, 3, axis=-1)
     dh = D // heads
 
@@ -140,7 +156,7 @@ def mha(
         split_heads(q), split_heads(k), split_heads(v), mask=mask
     )
     o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
-    return o @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
+    return o @ p["out_w"].astype(qkv.dtype) + p["out_b"].astype(qkv.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +192,15 @@ def resblock(
     ln_eps: float = 1e-5,
 ) -> jnp.ndarray:
     """Pre-LN residual attention block (reference transformer.py:253-272)."""
-    a = mha(layer_norm(x, p["ln_1"], ln_eps), p["attn"], heads, mask)
+    # TPU hot path, front half: ln_1 + the packed-qkv projection run as one
+    # Pallas kernel with Wqkv VMEM-resident (ops/fused_ln_proj.py; measured
+    # 1.07x over the XLA schedule at the ViT-L encode shape).
+    if (fused_ln_proj_available()
+            and fused_ln_proj_applicable(x, p["attn"]["qkv_w"])):
+        a = _attn_from_qkv(fused_ln_qkv(x, p["ln_1"], p["attn"], ln_eps),
+                           p["attn"], heads, mask)
+    else:
+        a = mha(layer_norm(x, p["ln_1"], ln_eps), p["attn"], heads, mask)
     if "ls_1" in p:
         a = a * p["ls_1"]["gamma"].astype(x.dtype)
     x = x + a
