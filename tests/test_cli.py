@@ -35,6 +35,24 @@ def test_train_cli_synthetic(tmp_path):
     assert (tmp_path / "t" / "checkpoints" / "epoch_latest").exists()
 
 
+def test_train_cli_synthetic_fsdp(tmp_path):
+    """--fsdp: same driver, params/opt stored sharded (2-device CPU mesh)."""
+    from vitlens_tpu.cli.train import main
+
+    rc = main([
+        "--modality", "eeg", "--model", "ViT-Tiny-Test",
+        "--dataset-type", "synthetic", "--train-data", "synthetic",
+        "--train-num-samples", "8", "--batch-size", "2", "--epochs", "1",
+        "--warmup", "2", "--precision", "fp32", "--n-tower", "3", "--fsdp",
+        "--log-every-n-steps", "1", "--logs", str(tmp_path), "--name", "f",
+    ])
+    assert rc == 0
+    rec = json.loads(
+        (tmp_path / "f" / "results.jsonl").read_text().splitlines()[-1])
+    assert np.isfinite(rec["train/loss"])
+    assert (tmp_path / "f" / "checkpoints" / "epoch_latest").exists()
+
+
 def test_train_cli_eval_only_esc50_fixture(tmp_path, monkeypatch):
     from vitlens_tpu.cli.train import main
 

@@ -102,6 +102,10 @@ class TrainArgs:
     # parallelism
     n_devices: Optional[int] = None   # default all
     use_bn_sync: bool = True
+    # FSDP/ZeRO: store params + Adam moments sharded over the data axis
+    # (parallel/fsdp.py; GSPMD inserts the collectives). DDP when off —
+    # the reference's only mode.
+    fsdp: bool = False
 
     # per-modality model hyperparameters (reference params.py:645-935
     # audio/pc/eeg/perceiver sections); None = keep the vitlensL preset.

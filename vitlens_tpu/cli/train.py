@@ -463,7 +463,9 @@ def main(argv=None) -> int:
                and args.remat_policy != "full" else args.grad_checkpointing),
         sync_bn=args.use_bn_sync and mesh is not None,
     )
-    step = make_train_step(cfg, tx, mask, sc, mesh=mesh, donate=True)
+    partition = "fsdp" if (args.fsdp and mesh is not None) else "ddp"
+    step = make_train_step(cfg, tx, mask, sc, mesh=mesh, donate=True,
+                           partition=partition)
     ts = init_train_state(params, model_state, tx)
 
     ckpt_dir = os.path.join(log_dir, "checkpoints")
@@ -477,7 +479,12 @@ def main(argv=None) -> int:
             logging.info(f"resumed from {path} (epoch {start_epoch})")
 
     if mesh is not None:
-        ts = replicate(mesh, ts)
+        if partition == "fsdp":
+            from vitlens_tpu.parallel.fsdp import fsdp_place
+
+            ts = fsdp_place(ts, mesh)
+        else:
+            ts = replicate(mesh, ts)
     writer = MetricsWriter(log_dir, use_tensorboard="tensorboard" in args.report_to)
     meter = ThroughputMeter(n_chips=n_shards)
     saver = C.AsyncSaver()

@@ -226,12 +226,23 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
     donate: bool = False,
+    partition: str = "ddp",
 ):
     """Build the jitted sharded train step.
 
-    With a mesh: the whole step runs under shard_map — params/opt replicated,
-    batch sharded on `data`; grads pmean'd (DDP semantics); loss gathers
-    embeddings over the axis. Without a mesh: single-device step.
+    With a mesh, `partition` picks the parallelism style:
+      * "ddp" (default): shard_map — params/opt replicated, batch sharded on
+        `data`; grads pmean'd (DDP semantics, matching the reference's
+        torch DDP); loss gathers embeddings over the axis.
+      * "fsdp": GSPMD — params/opt/model_state stored SHARDED over `data`
+        (parallel/fsdp.py rule), batch sharded on `data`; XLA inserts the
+        all-gathers/reduce-scatters over ICI (ZeRO-3 semantics). The step is
+        written as a global-batch computation (no axis_name): the
+        contrastive loss is the global one and BN stats are global-batch
+        stats, both numerically equal to the ddp path's gathered-local-loss
+        + sync-BN pmean (tests/test_fsdp.py). The caller places the
+        TrainState with `parallel.fsdp.fsdp_place` first.
+    Without a mesh: single-device step.
 
     donate=True donates the TrainState buffers (params + optimizer state are
     updated in place on device — halves their HBM footprint); the caller must
@@ -344,7 +355,9 @@ def make_train_step(
         return loss_total / A, grads_total, st
 
     def step_fn(state: TrainState, batch, fps_key=None):
-        ax = axis_name if mesh is not None else None
+        # fsdp runs the step as a global-batch computation: XLA partitions
+        # it from the data shardings alone, no collective calls in the code
+        ax = axis_name if (mesh is not None and partition == "ddp") else None
         if ax is not None and fps_key is not None:
             # decorrelate stochastic sampling across shards (the reference
             # seeds each rank with seed + rank, audio_main.py:52-55)
@@ -381,6 +394,36 @@ def make_train_step(
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
         return jax.jit(step_fn, **donate_kw)
+
+    if partition == "fsdp":
+        from vitlens_tpu.parallel.fsdp import shardings_of
+
+        jitted = None
+
+        def fsdp_call(state: TrainState, batch, fps_key=None):
+            # Pin in/out shardings from the placed state on first call so
+            # params/opt stay FSDP-sharded step over step (XLA would
+            # otherwise be free to re-layout outputs).
+            nonlocal jitted
+            if jitted is None:
+                state_sh = shardings_of(state)
+                batch_sh = jax.tree.map(
+                    lambda _: NamedSharding(mesh, P(axis_name)), batch)
+                repl_sh = NamedSharding(mesh, P())
+                metrics_sh = {"loss": repl_sh, "logit_scale": repl_sh,
+                              "grad_norm": repl_sh}
+                key_sh = None if fps_key is None else repl_sh
+                jitted = jax.jit(
+                    step_fn,
+                    in_shardings=(state_sh, batch_sh, key_sh),
+                    out_shardings=(state_sh, metrics_sh),
+                    **donate_kw,
+                )
+            return jitted(state, batch, fps_key)
+
+        return fsdp_call
+    if partition != "ddp":
+        raise ValueError(f"unknown partition style: {partition!r}")
 
     repl = P()
 
