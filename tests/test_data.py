@@ -92,6 +92,48 @@ def test_tar_shard_dataset(tmp_path):
     assert all("caption" in g["json"] for _, g in items)
 
 
+def test_tar_shard_resampling(tmp_path):
+    """Weighted with-replacement shard resampling (reference
+    ResampledShards2, data.py:407-462) over REAL tar shards: respects
+    n_resampled, draws by weight, re-draws per epoch deterministically."""
+    import io
+
+    for s in range(3):
+        with tarfile.open(tmp_path / f"shard-{s}.tar", "w") as tf:
+            data = json.dumps({"shard": s}).encode()
+            info = tarfile.TarInfo(f"{s}_0.json")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    ds = TarShardDataset(str(tmp_path / "shard-{0..2}.tar"),
+                         decoders={"json": lambda b: json.loads(b)},
+                         resample_weights=[1.0, 0.0, 1.0], n_resampled=40,
+                         seed=7)
+    items = list(ds)
+    assert len(items) == 40  # with-replacement: n_resampled, not n_shards
+    drawn = [g["json"]["shard"] for _, g in items]
+    assert set(drawn) <= {0, 2}  # zero-weight shard never drawn
+    assert {0, 2} <= set(drawn)
+
+    ds.set_epoch(1)
+    drawn_e1 = [g["json"]["shard"] for _, g in ds]
+    ds.set_epoch(0)
+    drawn_e0 = [g["json"]["shard"] for _, g in ds]
+    assert drawn_e0 == drawn  # epoch-keyed determinism
+    assert drawn_e1 != drawn  # ...but different across epochs
+
+    # shard splitting composes with resampling (each worker sees a slice)
+    parts = []
+    for wid in range(2):
+        dsw = TarShardDataset(str(tmp_path / "shard-{0..2}.tar"),
+                              shard_id=wid, n_shards=2,
+                              decoders={"json": lambda b: json.loads(b)},
+                              resample_weights=[1.0, 0.0, 1.0],
+                              n_resampled=40, seed=7)
+        parts.append([g["json"]["shard"] for _, g in dsw])
+    assert len(parts[0]) + len(parts[1]) == 40
+
+
 def _write_wav(path, seconds=1.0, sr=16000, freq=440.0):
     t = np.arange(int(sr * seconds)) / sr
     x = (0.3 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
