@@ -55,6 +55,50 @@ def test_bert_encoder_parity():
     assert rel_err(np.asarray(pooled), out.pooler_output.numpy()) < 1e-4
 
 
+def test_roberta_encoder_parity():
+    """RoBERTa/XLM-R semantics: pad-mask-derived position ids starting at
+    padding_idx+1 (modeling_roberta.py create_position_ids_from_input_ids),
+    type_vocab_size=1, `roberta.`-prefix stripping."""
+    import torch
+
+    from transformers import RobertaConfig, RobertaModel
+
+    cfg = RobertaConfig(vocab_size=99, hidden_size=32, num_hidden_layers=3,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0, hidden_act="gelu")
+    torch.manual_seed(2)
+    model = RobertaModel(cfg)
+    model.eval()
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(2, 99, size=(2, 11)).astype(np.int64)
+    ids[1, 7:] = 1  # right-padding with roberta's pad id
+    mask = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask))
+
+    sd = {f"roberta.{k}": v for k, v in model.state_dict().items()}
+    params = BT.convert_hf_bert_state_dict(sd)
+    hidden, pooled = BT.bert_encoder_apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        heads=cfg.num_attention_heads, position_style="roberta", pad_id=1)
+    got = np.asarray(hidden)
+    want = out.last_hidden_state.numpy()
+    assert rel_err(got[0], want[0]) < 1e-4
+    assert rel_err(got[1, :7], want[1, :7]) < 1e-4
+    assert rel_err(np.asarray(pooled), out.pooler_output.numpy()) < 1e-4
+
+    # bert-style absolute positions would be WRONG for roberta (off by
+    # padding_idx+1): the parity above must be attributable to the style
+    wrong, _ = BT.bert_encoder_apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        heads=cfg.num_attention_heads, position_style="bert")
+    assert rel_err(np.asarray(wrong)[0], want[0]) > 1e-3
+
+
 @pytest.mark.parametrize("pooler_type", [
     "mean_pooler", "cls_pooler", "cls_last_hidden_state_pooler"])
 def test_full_encode_with_poolers(pooler_type):

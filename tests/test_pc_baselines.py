@@ -134,7 +134,9 @@ def test_pointnet_and_factory():
     out, _ = apply(params, state, xyz, feats)
     assert out.shape == (2, 16)
 
-    for absent in ("MinkowskiFCNN", "PointNeXt", "PointMLP"):
+    # PointNet2 is classification-only (the reference trainer's make()
+    # has no branch for it either); the bind surface must refuse it
+    for absent in ("MinkowskiFCNN", "PointNeXt", "PointMLP", "PointNet2"):
         with pytest.raises(NotImplementedError):
             PB.make_pc_baseline(absent)
 

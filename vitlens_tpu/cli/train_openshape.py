@@ -53,8 +53,7 @@ def build_args(argv=None):
     # reference config model.name: the shipped CLIPBind Lens tower or a
     # comparison baseline (VitLens-OpenShape/src/models/__init__.py)
     p.add_argument("--pc-model", default="clipbind",
-                   choices=["clipbind", "PointBERT", "DGCNN", "PointNet",
-                            "PointNet2"])
+                   choices=["clipbind", "PointBERT", "DGCNN", "PointNet"])
     p.add_argument("--pc-scaling", type=int, default=3)
     p.add_argument("--pc-in-channel", type=int, default=6)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])

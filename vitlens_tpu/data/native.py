@@ -40,10 +40,10 @@ def _maybe_build() -> None:
     if shutil.which("g++") is None or not os.access(native_dir, os.W_OK):
         return
     try:
+        # build.sh is the single source of truth for the compile command
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             "vitlens_host.cpp", "-o", "libvitlens_host.so"],
-            cwd=native_dir, check=True, capture_output=True, timeout=120,
+            ["sh", os.path.join(native_dir, "build.sh")],
+            check=True, capture_output=True, timeout=120,
         )
     except Exception:
         pass  # callers fall back to the pure-python implementations

@@ -71,13 +71,28 @@ def bert_encoder_init(key, vocab_size: int, hidden: int, layers: int,
 
 def bert_encoder_apply(p: Params, input_ids: jnp.ndarray,
                        attention_mask: Optional[jnp.ndarray],
-                       heads: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       heads: int, position_style: str = "bert",
+                       pad_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """input_ids [B, N] int32, attention_mask [B, N] (1=real, 0=pad).
-    Returns (last_hidden_state [B, N, H], pooler_output [B, H])."""
+    Returns (last_hidden_state [B, N, H], pooler_output [B, H]).
+
+    position_style: "bert" uses absolute positions 0..N; "roberta"
+    (RoBERTa/XLM-R, transformers modeling_roberta.py
+    create_position_ids_from_input_ids) derives them from the pad mask —
+    non-pad token i gets position padding_idx + cumsum(mask)[i], pads get
+    padding_idx (= pad_id, 1 for the HF roberta family)."""
     B, N = input_ids.shape
     emb = p["embeddings"]
+    if position_style == "roberta":
+        not_pad = (input_ids != pad_id).astype(jnp.int32)
+        pos_ids = jnp.cumsum(not_pad, axis=1) * not_pad + pad_id
+        pos = jnp.take(emb["position"], pos_ids, axis=0)
+    elif position_style == "bert":
+        pos = emb["position"][None, :N, :]
+    else:
+        raise ValueError(f"unknown position_style {position_style!r}")
     h = (jnp.take(emb["word"], input_ids, axis=0)
-         + emb["position"][None, :N, :]
+         + pos
          + emb["token_type"][0][None, None, :])
     h = layer_norm(h, emb["ln"], LN_EPS)
 
@@ -149,12 +164,15 @@ def proj_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 def bert_text_encode(params: Params, input_ids: jnp.ndarray,
                      attention_mask: Optional[jnp.ndarray], heads: int,
-                     pooler_type: str = "mean_pooler") -> jnp.ndarray:
+                     pooler_type: str = "mean_pooler",
+                     position_style: str = "bert",
+                     pad_id: int = 0) -> jnp.ndarray:
     """Full HFTextEncoder.forward equivalent (hf_model.py:205-224)."""
     if attention_mask is None:
-        attention_mask = (input_ids != 0).astype(jnp.int32)
+        attention_mask = (input_ids != pad_id).astype(jnp.int32)
     hidden, pooled = bert_encoder_apply(params["encoder"], input_ids,
-                                        attention_mask, heads)
+                                        attention_mask, heads,
+                                        position_style, pad_id)
     feats = pool(hidden, pooled, attention_mask, pooler_type)
     return proj_apply(params["proj"], feats)
 
@@ -165,14 +183,20 @@ def bert_text_encode(params: Params, input_ids: jnp.ndarray,
 
 
 def convert_hf_bert_state_dict(sd) -> Params:
-    """Map a transformers BertModel (or `bert.`-prefixed) state dict."""
+    """Map a transformers BertModel/RobertaModel/XLMRobertaModel state dict
+    (bare, or under the `bert.`/`roberta.`/open_clip `text.transformer.`
+    prefixes) onto the pytree."""
     import numpy as np
 
     def _np(t):
         return t.detach().cpu().float().numpy() if hasattr(t, "detach") \
             else np.asarray(t)
 
-    sd = {k[5:] if k.startswith("bert.") else k: v for k, v in sd.items()}
+    for prefix in ("bert.", "roberta.", "text.transformer."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()
+                  if k.startswith(prefix)}
+            break
 
     def lin(name):
         p = {"w": jnp.asarray(_np(sd[f"{name}.weight"]).T, jnp.float32)}

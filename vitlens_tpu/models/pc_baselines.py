@@ -496,12 +496,15 @@ def make_pc_baseline(name: str, *, in_channel: int = 6,
             pointnet_apply,
         )
     if name == "PointNet2":
-        return (
-            lambda key: pointnet2_init(key, out_channel,
-                                       normal_channel=in_channel > 3),
-            lambda p, s, xyz, feats, **kw: pointnet2_apply(
-                p, s, feats, normal_channel=in_channel > 3, **kw),
-        )
+        # The reference trainer's make() has no PointNet2 branch either
+        # (models/__init__.py:4-34): pointnet2.py is a ModelNet CLASSIFIER
+        # (returns (log_softmax logits, l3 feat), not a 1280-d contrastive
+        # embedding). Use pointnet2_init/pointnet2_apply directly for
+        # classification; it has no bind surface.
+        raise NotImplementedError(
+            "PointNet2 is a classification baseline (pointnet2_apply), not "
+            "a contrastive encoder — the reference trainer cannot bind it "
+            "either (models/__init__.py:4-34).")
     raise NotImplementedError(
         f"pc baseline {name!r} not supported. Minkowski is disabled in the "
         "reference itself; PointNeXt/PointMLP wrap a git submodule the "

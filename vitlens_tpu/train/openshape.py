@@ -117,8 +117,9 @@ def clip_bind_apply(params: Params, state: Params, xyz_features: jnp.ndarray,
 def baseline_bind_init(key, name: str, *, in_channel: int = 6,
                        out_channel: int = 1280,
                        scaling: int = 3) -> Tuple[Params, Params]:
-    """Like clip_bind_init but with a pc baseline (PointBERT/DGCNN/PointNet/
-    PointNet2, models/pc_baselines.py) as the encoder."""
+    """Like clip_bind_init but with a pc baseline (PointBERT/DGCNN/PointNet,
+    models/pc_baselines.py) as the encoder. PointNet2 is classification-only
+    (no bind surface in the reference either)."""
     from vitlens_tpu.models.pc_baselines import make_pc_baseline
 
     init, _ = make_pc_baseline(name, in_channel=in_channel,
@@ -153,7 +154,7 @@ def baseline_bind_apply(params: Params, state: Params,
     xyz = xyz_features[..., :3].astype(jnp.float32)
     feats = xyz_features.astype(jnp.float32)
     kw = dict(train=train, bn_axis_name=bn_axis_name)
-    if name in ("PointBERT", "PointNet2"):
+    if name == "PointBERT":
         kw["fps_key"] = fps_key
     emb, new_s = apply(params["encoder"], state["encoder"], xyz, feats, **kw)
     return emb, {"encoder": new_s}

@@ -500,7 +500,7 @@ def convert_pointnet2_state_dict(
     params["sa2"], state["sa2"] = _convert_sa_msg(
         sub(sd, "sa2."), [[64, 64, 128], [128, 128, 256], [128, 128, 256]])
     params["sa3"], state["sa3"] = _convert_sa(sub(sd, "sa3."), 3)
-    for i, n in ((1, 512), (2, 256)):
+    for i in (1, 2):
         params[f"fc{i}"] = _linear(sd, f"fc{i}")
         params[f"bn{i}"], state[f"bn{i}"] = _bn(sd, f"bn{i}")
     params["fc3"] = _linear(sd, "fc3")
