@@ -136,6 +136,111 @@ def test_full_encode_with_poolers(pooler_type):
     assert rel_err(np.asarray(pooled), want.numpy()) < 1e-5
 
 
+def test_hf_text_clip_assembly():
+    """roberta-ViT-B-32 (reference model_configs/roberta-ViT-B-32.json) is
+    constructible end-to-end: tri_model_init builds the native BERT-family
+    text tower and encode_text dispatches to it."""
+    from vitlens_tpu.config import get_arch, make_model_config
+    from vitlens_tpu.models import tri
+
+    arch = get_arch("roberta-ViT-B-32")
+    assert arch["text"].hf_style == "roberta"
+    assert arch["text"].vocab_size == 50265
+
+    cfg = make_model_config("roberta-ViT-B-32", "image", quick_gelu=True)
+    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
+    assert "encoder" in params["text"] and "proj" in params["text"]
+
+    ids = np.full((2, 9), 1, np.int32)  # roberta pad id
+    ids[:, :5] = np.random.RandomState(0).randint(2, 50265, size=(2, 5))
+    feats = tri.encode_text(params, jnp.asarray(ids), cfg, normalize=True)
+    assert feats.shape == (2, 512)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(feats), axis=-1), 1.0, rtol=1e-5)
+
+
+def test_hf_text_train_step():
+    """A dual CLIP train step through the hf-style text tower (tiny arch):
+    the params tree must be optimizer-safe and grads must flow."""
+    from dataclasses import replace
+
+    from vitlens_tpu.config import TextArch
+    from vitlens_tpu.models import tri
+    from vitlens_tpu.train.freeze import ones_like_mask
+    from vitlens_tpu.train.step import (
+        OptimizerConfig, StepConfig, init_train_state, make_optimizer,
+        make_train_step,
+    )
+    from tests.test_train_step import tiny_batch, tiny_model_cfg
+
+    cfg = tiny_model_cfg()
+    cfg = replace(cfg, text=TextArch(
+        context_length=8, vocab_size=50, width=32, heads=2, layers=2,
+        hf_style="roberta", hf_intermediate=64, hf_max_positions=16,
+        hf_pad_id=0))
+    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
+    mask = ones_like_mask(params)
+    tx, mask = make_optimizer(params, OptimizerConfig(lr=1e-3, warmup=1,
+                                                      total_steps=50), mask)
+    sc = StepConfig(n_tower=3, local_loss=False, compute_dtype=jnp.float32,
+                    sync_bn=False)
+    step = make_train_step(cfg, tx, mask, sc, mesh=None)
+    ts = init_train_state(params, state, tx)
+    batch = tiny_batch(np.random.RandomState(0), 8)
+    losses = []
+    for _ in range(4):
+        ts, metrics = step(ts, batch, None)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # text params actually moved
+    a = np.asarray(params["text"]["encoder"]["embeddings"]["word"])
+    b = np.asarray(ts.params["text"]["encoder"]["embeddings"]["word"])
+    assert np.abs(a - b).max() > 0
+
+
+def test_convert_hf_text_tower():
+    """open_clip CustomTextCLIP HFTextEncoder subtree (text.transformer.* +
+    text.proj.{0,2}) converts and reproduces torch end-to-end."""
+    import torch
+
+    from transformers import RobertaConfig, RobertaModel
+
+    from vitlens_tpu.weights.torch_convert import convert_hf_text_tower
+
+    cfg = RobertaConfig(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0, hidden_act="gelu")
+    torch.manual_seed(3)
+    model = RobertaModel(cfg)
+    model.eval()
+    proj = torch.nn.Sequential(
+        torch.nn.Linear(32, 24, bias=False), torch.nn.GELU(),
+        torch.nn.Linear(24, 16, bias=False))
+
+    sd = {f"transformer.{k}": v for k, v in model.state_dict().items()}
+    sd.update({f"proj.{k}": v for k, v in proj.state_dict().items()})
+    params = convert_hf_text_tower(sd)
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(2, 99, size=(2, 7)).astype(np.int64)
+    ids[0, 5:] = 1
+    mask = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask))
+        m = torch.from_numpy(mask).unsqueeze(-1)
+        pooled = (out.last_hidden_state * m).sum(1) / m.sum(1)
+        want = proj(pooled).numpy()
+
+    got = np.asarray(BT.bert_text_encode(
+        params, jnp.asarray(ids, jnp.int32), None, heads=4,
+        pooler_type="mean_pooler", position_style="roberta", pad_id=1))
+    assert rel_err(got, want) < 1e-4
+
+
 def test_random_init_and_jit():
     p = BT.bert_encoder_init(jax.random.PRNGKey(0), vocab_size=50, hidden=16,
                              layers=2, heads=2, intermediate=32,

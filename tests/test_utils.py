@@ -111,6 +111,5 @@ def test_arch_registry_complete():
         model = tag.split("/")[0]
         base = model.replace("-quickgelu", "")
         known = (base in ARCH_REGISTRY or base in rn
-                 or base.startswith("coca_")
-                 or "roberta" in base or "xlm" in base)
+                 or base.startswith("coca_"))
         assert known, f"tag {tag} has no constructible arch"

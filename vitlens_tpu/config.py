@@ -65,7 +65,12 @@ class VisionArch:
 
 @dataclass(frozen=True)
 class TextArch:
-    """CLIP text tower architecture (reference: model_configs/*.json text_cfg)."""
+    """CLIP text tower architecture (reference: model_configs/*.json text_cfg).
+
+    When `hf_style` is set, the text tower is the TPU-native BERT-family
+    encoder (models/bert_text.py — the reference builds HFTextEncoder from
+    text_cfg.hf_model_name, model.py _build_text_tower + hf_model.py) with
+    width/heads/layers/vocab_size reused as hidden/heads/layers/vocab."""
 
     context_length: int = 77
     vocab_size: int = 49408
@@ -73,6 +78,13 @@ class TextArch:
     heads: int = 8
     layers: int = 12
     ls_init_value: Optional[float] = None
+    hf_style: Optional[str] = None      # None | "bert" | "roberta"
+    hf_pooler_type: str = "mean_pooler"
+    hf_proj: str = "mlp"
+    hf_intermediate: int = 3072
+    hf_max_positions: int = 514
+    hf_pad_id: int = 1
+    hf_tokenizer_name: Optional[str] = None  # recorded for data pipelines
 
 
 @dataclass(frozen=True)
@@ -364,6 +376,39 @@ ARCH_REGISTRY: Dict[str, Dict[str, Any]] = {
             head_width=88, mlp_ratio=4.3637,
         ),
         text=TextArch(width=1024, heads=16, layers=24),
+    ),
+    # HF-text CLIP family (reference model_configs/{roberta-ViT-B-32,
+    # xlm-roberta-base-ViT-B-32, xlm-roberta-large-ViT-H-14}.json): the text
+    # tower is the TPU-native BERT-family encoder (models/bert_text.py)
+    # configured from the named HF arch; mean_pooler + mlp proj per the
+    # reference text_cfg. NB roberta-ViT-B-32.json sets quick_gelu: true —
+    # pass quick_gelu=True when building it (as for the *-quickgelu tags).
+    "roberta-ViT-B-32": dict(
+        embed_dim=512,
+        vision=VisionArch(image_size=224, patch_size=32, width=768,
+                          layers=12),
+        text=TextArch(width=768, heads=12, layers=12, vocab_size=50265,
+                      hf_style="roberta", hf_intermediate=3072,
+                      hf_max_positions=514, hf_pad_id=1,
+                      hf_tokenizer_name="roberta-base"),
+    ),
+    "xlm-roberta-base-ViT-B-32": dict(
+        embed_dim=512,
+        vision=VisionArch(image_size=224, patch_size=32, width=768,
+                          layers=12),
+        text=TextArch(width=768, heads=12, layers=12, vocab_size=250002,
+                      hf_style="roberta", hf_intermediate=3072,
+                      hf_max_positions=514, hf_pad_id=1,
+                      hf_tokenizer_name="xlm-roberta-base"),
+    ),
+    "xlm-roberta-large-ViT-H-14": dict(
+        embed_dim=1024,
+        vision=VisionArch(image_size=224, patch_size=14, width=1280,
+                          layers=32, head_width=80),
+        text=TextArch(width=1024, heads=16, layers=24, vocab_size=250002,
+                      hf_style="roberta", hf_intermediate=4096,
+                      hf_max_positions=514, hf_pad_id=1,
+                      hf_tokenizer_name="xlm-roberta-large"),
     ),
 }
 

@@ -72,7 +72,9 @@ def bert_encoder_init(key, vocab_size: int, hidden: int, layers: int,
 def bert_encoder_apply(p: Params, input_ids: jnp.ndarray,
                        attention_mask: Optional[jnp.ndarray],
                        heads: int, position_style: str = "bert",
-                       pad_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       pad_id: int = 0,
+                       compute_dtype=jnp.float32
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """input_ids [B, N] int32, attention_mask [B, N] (1=real, 0=pad).
     Returns (last_hidden_state [B, N, H], pooler_output [B, H]).
 
@@ -94,7 +96,7 @@ def bert_encoder_apply(p: Params, input_ids: jnp.ndarray,
     h = (jnp.take(emb["word"], input_ids, axis=0)
          + pos
          + emb["token_type"][0][None, None, :])
-    h = layer_norm(h, emb["ln"], LN_EPS)
+    h = layer_norm(h, emb["ln"], LN_EPS).astype(compute_dtype)
 
     if attention_mask is None:
         attention_mask = jnp.ones((B, N), jnp.int32)
@@ -146,18 +148,18 @@ def pool(last_hidden: jnp.ndarray, pooler_output: jnp.ndarray,
 
 def proj_init(key, d_model: int, output_dim: int, proj: str = "linear"
               ) -> Params:
+    # the kind is structural ("fc" vs "fc1"/"fc2") — no non-array leaves,
+    # so the params tree stays optimizer/tree-map safe
     if proj == "linear":
-        return {"kind": "linear",
-                "fc": _init_linear(key, d_model, output_dim, bias=False)}
+        return {"fc": _init_linear(key, d_model, output_dim, bias=False)}
     hidden = (d_model + output_dim) // 2
     k1, k2 = jax.random.split(key)
-    return {"kind": "mlp",
-            "fc1": _init_linear(k1, d_model, hidden, bias=False),
+    return {"fc1": _init_linear(k1, d_model, hidden, bias=False),
             "fc2": _init_linear(k2, hidden, output_dim, bias=False)}
 
 
 def proj_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if p["kind"] == "linear":
+    if "fc" in p:
         return linear(x, p["fc"])
     return linear(gelu(linear(x, p["fc1"])), p["fc2"])
 
@@ -166,15 +168,46 @@ def bert_text_encode(params: Params, input_ids: jnp.ndarray,
                      attention_mask: Optional[jnp.ndarray], heads: int,
                      pooler_type: str = "mean_pooler",
                      position_style: str = "bert",
-                     pad_id: int = 0) -> jnp.ndarray:
+                     pad_id: int = 0,
+                     compute_dtype=jnp.float32) -> jnp.ndarray:
     """Full HFTextEncoder.forward equivalent (hf_model.py:205-224)."""
     if attention_mask is None:
         attention_mask = (input_ids != pad_id).astype(jnp.int32)
     hidden, pooled = bert_encoder_apply(params["encoder"], input_ids,
                                         attention_mask, heads,
-                                        position_style, pad_id)
+                                        position_style, pad_id,
+                                        compute_dtype)
     feats = pool(hidden, pooled, attention_mask, pooler_type)
     return proj_apply(params["proj"], feats)
+
+
+# ---------------------------------------------------------------------------
+# text-tower surface (what tri.py dispatches to for TextArch.hf_style)
+# ---------------------------------------------------------------------------
+
+
+def hf_text_tower_init(key, t, embed_dim: int) -> Params:
+    """Init from a TextArch with hf_style set (reference _build_text_tower
+    -> HFTextEncoder(hf_model_name, output_dim, proj, pooler_type),
+    model.py + hf_model.py:107-180)."""
+    k_enc, k_proj = jax.random.split(key)
+    return {
+        "encoder": bert_encoder_init(
+            k_enc, vocab_size=t.vocab_size, hidden=t.width, layers=t.layers,
+            heads=t.heads, intermediate=t.hf_intermediate,
+            max_positions=t.hf_max_positions,
+            type_vocab_size=1 if t.hf_style == "roberta" else 2),
+        "proj": proj_init(k_proj, t.width, embed_dim, proj=t.hf_proj),
+    }
+
+
+def hf_text_tower_apply(params: Params, text: jnp.ndarray, t,
+                        compute_dtype=jnp.float32) -> jnp.ndarray:
+    """text [B, N] int ids (pad = t.hf_pad_id) -> [B, embed_dim]."""
+    return bert_text_encode(
+        params, text.astype(jnp.int32), None, heads=t.heads,
+        pooler_type=t.hf_pooler_type, position_style=t.hf_style,
+        pad_id=t.hf_pad_id, compute_dtype=compute_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,12 @@ def tri_model_init(key, cfg: ModelConfig) -> Tuple[Params, State]:
     img_cfg = image_tower_config(cfg)
     img_p, img_s = vision_tower_init(k_img, img_cfg)
     vis_p, vis_s = vision_tower_init(k_vis, cfg.tower)
-    txt_p = text_tower_init(k_txt, cfg.text, cfg.embed_dim)
+    if cfg.text.hf_style:
+        from vitlens_tpu.models.bert_text import hf_text_tower_init
+
+        txt_p = hf_text_tower_init(k_txt, cfg.text, cfg.embed_dim)
+    else:
+        txt_p = text_tower_init(k_txt, cfg.text, cfg.embed_dim)
     params: Params = {
         "image": img_p,
         "visual": vis_p,
@@ -83,10 +88,19 @@ def encode_text(
     compute_dtype=jnp.float32,
     remat: bool = False,
 ) -> jnp.ndarray:
-    feats = text_tower_apply(
-        params["text"], text, cfg.text,
-        quick_gelu=cfg.quick_gelu, compute_dtype=compute_dtype, remat=remat,
-    )
+    if cfg.text.hf_style:
+        # HF-family tower (reference CustomTextCLIP.encode_text ->
+        # HFTextEncoder.forward, model.py:305-312 + hf_model.py:205-224)
+        from vitlens_tpu.models.bert_text import hf_text_tower_apply
+
+        feats = hf_text_tower_apply(params["text"], text, cfg.text,
+                                    compute_dtype=compute_dtype)
+    else:
+        feats = text_tower_apply(
+            params["text"], text, cfg.text,
+            quick_gelu=cfg.quick_gelu, compute_dtype=compute_dtype,
+            remat=remat,
+        )
     return _l2_normalize(feats) if normalize else feats
 
 

@@ -329,6 +329,23 @@ def convert_text_tower(sd: Mapping[str, Any], n_layers: int) -> Params:
     }
 
 
+def convert_hf_text_tower(sd: Mapping[str, Any]) -> Params:
+    """Convert an open_clip HFTextEncoder subtree (keys under `text.`:
+    transformer.* = the HF module, proj = Identity/Linear/Sequential —
+    reference hf_model.py:160-176) onto the models/bert_text.py pytree."""
+    from vitlens_tpu.models.bert_text import convert_hf_bert_state_dict
+
+    out: Params = {
+        "encoder": convert_hf_bert_state_dict(sub(sd, "transformer.")),
+    }
+    if "proj.0.weight" in sd:  # mlp: Sequential(Linear, GELU, Linear)
+        out["proj"] = {"fc1": {"w": _j(sd["proj.0.weight"]).T},
+                       "fc2": {"w": _j(sd["proj.2.weight"]).T}}
+    elif "proj.weight" in sd:  # linear
+        out["proj"] = {"fc": {"w": _j(sd["proj.weight"]).T}}
+    return out
+
+
 def convert_tri_state_dict(
     sd: Mapping[str, Any], cfg: ModelConfig
 ) -> Tuple[Params, State]:
@@ -367,7 +384,13 @@ def convert_tri_state_dict(
             params["visual"], state["visual"] = convert_vision_tower(vis_sd, cfg.tower)
 
     # text: TriCLIP keeps text modules inline at the top level
-    if "token_embedding.weight" in sd:
+    if cfg.text.hf_style and any(k.startswith("text.transformer.")
+                                 for k in sd):
+        # open_clip CustomTextCLIP with HFTextEncoder (hf_model.py:107-180):
+        # the HF module under text.transformer.*, the mlp proj as
+        # text.proj.{0,2}.weight (Sequential(Linear, GELU, Linear), no bias)
+        params["text"] = convert_hf_text_tower(sub(sd, "text."))
+    elif "token_embedding.weight" in sd:
         params["text"] = convert_text_tower(sd, cfg.text.layers)
     elif any(k.startswith("text.") for k in sd):
         params["text"] = convert_text_tower(sub(sd, "text."), cfg.text.layers)
