@@ -24,11 +24,15 @@ def _ref_tokenizer():
     # reference tokenizer imports ftfy; stub it with a pass-through (our
     # implementation makes the same simplification)
     import sys, types, html
+    import importlib.machinery
 
     if "ftfy" not in sys.modules:
         from vitlens_tpu.text.tokenizer import _fix_mojibake
 
         m = types.ModuleType("ftfy")
+        # a real __spec__ so later importlib.util.find_spec("ftfy") probes
+        # (e.g. transformers' import_utils) don't crash on the stub
+        m.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
         # emulate real ftfy the same way the package under test approximates
         # it, so token-exact parity holds on mojibake inputs too
         m.fix_text = lambda s: html.unescape(
@@ -87,3 +91,34 @@ def test_mojibake_repair():
     ours = get_tokenizer()
     np.testing.assert_array_equal(ours(["a cafÃ© photo"]),
                                   ours(["a café photo"]))
+
+
+def test_hf_tokenizer_wrapper(tmp_path):
+    """HFTokenizer (reference open_clip tokenizer.py HFTokenizer): pads and
+    truncates to context_length, int32 ids — verified against a local
+    save_pretrained tokenizer (no network)."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "hello", "world", "deep", "net"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"))
+    tok.save_pretrained(str(tmp_path / "tok"))
+
+    from vitlens_tpu.text.tokenizer import HFTokenizer, get_tokenizer
+
+    h = HFTokenizer(str(tmp_path / "tok"))
+    ids = h(["hello world", "deep"], context_length=8)
+    assert ids.shape == (2, 8) and ids.dtype == np.int32
+    want = tok(["hello world", "deep"], padding="max_length",
+               truncation=True, max_length=8,
+               return_tensors="np")["input_ids"]
+    np.testing.assert_array_equal(ids, want)
+
+    # get_tokenizer dispatch + clear offline gating error
+    assert isinstance(
+        get_tokenizer(hf_tokenizer_name=str(tmp_path / "tok")), HFTokenizer)
+    with pytest.raises(RuntimeError, match="tokenizer"):
+        HFTokenizer(str(tmp_path / "definitely-not-there"))

@@ -362,13 +362,15 @@ def main(argv=None) -> int:
 
     from vitlens_tpu.text.tokenizer import get_tokenizer
 
-    tokenizer = get_tokenizer()
-
     cfg = make_model_config(
         args.model, args.modality, quick_gelu=args.force_quick_gelu,
         force_image_size=args.force_image_size,
         skip_first_n_layers=args.skip_trans_first_n_layers,
     )
+    # hf-text archs (roberta-ViT-B-32 etc.) tokenize with their HF
+    # tokenizer (reference factory.get_tokenizer dispatch on hf_tokenizer_name)
+    tokenizer = get_tokenizer(
+        hf_tokenizer_name=cfg.text.hf_tokenizer_name)
     cfg = _apply_tower_overrides(cfg, args)
     if args.force_patch_dropout is not None:
         from dataclasses import replace as _replace

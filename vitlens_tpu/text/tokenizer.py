@@ -207,8 +207,43 @@ class SimpleTokenizer:
         return result
 
 
+class HFTokenizer:
+    """HF tokenizer wrapper for the hf-text CLIP archs (reference
+    open_clip/tokenizer.py HFTokenizer: AutoTokenizer padded/truncated to
+    context_length). `name_or_path` may be a hub name (needs the tokenizer
+    files cached locally — zero-egress environments must point at a local
+    directory) or a local save_pretrained dir."""
+
+    def __init__(self, name_or_path: str):
+        try:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(name_or_path)
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(
+                f"could not load HF tokenizer {name_or_path!r}: hf-text "
+                "archs need the tokenizer files locally (set the name to a "
+                "local save_pretrained directory in offline environments)"
+            ) from e
+
+    def __call__(self, texts, context_length: int = CONTEXT_LENGTH
+                 ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = self.tokenizer(
+            list(texts), padding="max_length", truncation=True,
+            max_length=context_length, return_tensors="np",
+        )
+        return out["input_ids"].astype(np.int32)
+
+
 @functools.lru_cache()
-def get_tokenizer(vocab_path: str | None = None) -> SimpleTokenizer:
+def get_tokenizer(vocab_path: str | None = None,
+                  hf_tokenizer_name: str | None = None):
+    """CLIP BPE by default; the HF wrapper when the model's TextArch names
+    an hf tokenizer (reference factory.get_tokenizer dispatch)."""
+    if hf_tokenizer_name:
+        return HFTokenizer(hf_tokenizer_name)
     return SimpleTokenizer(vocab_path)
 
 
