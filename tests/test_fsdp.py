@@ -111,3 +111,38 @@ def test_fsdp_shardings_handles_opt_state(setup):
     specs = [s.spec for s in jax.tree.leaves(sh.opt_state)
              if hasattr(s, "spec")]
     assert any(s != P() for s in specs), "no optimizer moment sharded"
+
+
+def test_fsdp_accum_and_bf16_composes(setup):
+    """partition='fsdp' composes with accum-freq cached-negative replay,
+    bf16 compute, and frozen towers; matches the single-device accum step."""
+    cfg, params, state = setup
+    mask = tri_model_mask(params, cfg, lock_image=True, lock_text=True)
+    tx, mask = make_optimizer(
+        params, OptimizerConfig(lr=1e-3, warmup=1, total_steps=100), mask)
+    sc = StepConfig(n_tower=3, local_loss=False, accum_freq=2,
+                    compute_dtype=jnp.float32, sync_bn=False)
+    batch = tiny_batch(np.random.RandomState(3), 16)
+
+    single = make_train_step(cfg, tx, mask, sc, mesh=None)
+    ts1 = init_train_state(params, state, tx)
+    ts1, m1 = single(ts1, batch, None)
+
+    mesh = _mesh()
+    fstep = make_train_step(cfg, tx, mask, sc, mesh=mesh, partition="fsdp")
+    ts2 = fsdp_place(init_train_state(params, state, tx), mesh,
+                     min_elems=128)
+    ts2, m2 = fstep(ts2, batch, None)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts1.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    # bf16 + remat smoke through the fsdp path
+    scb = StepConfig(n_tower=3, local_loss=False,
+                     compute_dtype=jnp.bfloat16, remat=True, sync_bn=False)
+    bstep = make_train_step(cfg, tx, mask, scb, mesh=mesh, partition="fsdp")
+    ts3 = fsdp_place(init_train_state(params, state, tx), mesh,
+                     min_elems=128)
+    ts3, m3 = bstep(ts3, batch, None)
+    assert np.isfinite(float(m3["loss"]))
