@@ -32,3 +32,15 @@ def test_fps_dispatch_uses_xla_on_cpu():
     idx = F.fps_indices(xyz, 16)
     assert idx.shape == (2, 16)
     assert int(idx[0, 0]) == 0  # deterministic start
+
+
+def test_batched_fps_matches_xla_interpret():
+    """The all-batch single-invocation kernel (one [B,N] distance update per
+    FPS iteration) == the XLA recurrence, incl. per-batch random starts."""
+    rng = np.random.RandomState(2)
+    xyz = jnp.asarray(rng.randn(4, 256, 3), jnp.float32)
+    for start in (jnp.zeros((4,), jnp.int32),
+                  jnp.asarray([0, 5, 17, 200], jnp.int32)):
+        got = F._fps_indices_pallas_batched(xyz, 32, start, interpret=True)
+        want = F._fps_indices_xla(xyz, 32, start)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

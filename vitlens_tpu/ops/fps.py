@@ -69,6 +69,11 @@ def fps_indices(
 
         use_pallas = _flash_available() and N % 128 == 0
     if use_pallas:
+        # all-batch kernel when everything fits VMEM comfortably (~16 bytes
+        # per point live): measured 7.9x over the per-batch grid kernel at
+        # B=64, N=8192 (the grid serializes on the single TensorCore)
+        if B % 8 == 0 and 16 * B * N <= 48 * 1024 * 1024:
+            return _fps_indices_pallas_batched(xyz, npoint, start)
         return _fps_indices_pallas(xyz, npoint, start)
     return _fps_indices_xla(xyz, npoint, start)
 
@@ -89,6 +94,61 @@ def _fps_indices_xla(xyz, npoint: int, start) -> jnp.ndarray:
 
     _, _, idxs = jax.lax.fori_loop(0, npoint, body, (dist0, start, idxs0))
     return idxs
+
+
+def _fps_indices_pallas_batched(xyz, npoint: int, start,
+                                interpret: bool = False) -> jnp.ndarray:
+    """All-batch FPS in ONE kernel invocation: each of the npoint iterations
+    updates the [B, N] running min-distance matrix for every batch element
+    at once (VMEM-resident; B=64, N=8192 -> 2 MB), instead of the per-batch
+    grid of `_fps_indices_pallas` whose grid steps serialize on the single
+    TensorCore. The per-iteration argmax/centroid math is the same masked
+    (lane-dynamic-free) formulation. Indices are stored iteration-major
+    ([npoint, B], dynamic SUBLANE offset — supported by Mosaic, unlike
+    dynamic lane offsets) and transposed on the way out."""
+    B, N, _ = xyz.shape
+    xyz_t = xyz.transpose(2, 0, 1)  # [3, B, N]
+
+    def kernel(xyz_ref, start_ref, idx_ref, dist_ref):
+        xs = xyz_ref[0]
+        ys = xyz_ref[1]
+        zs = xyz_ref[2]
+        dist_ref[...] = jnp.full((B, N), 1e10, jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+
+        def body(i, farthest):  # farthest [B, 1] int32
+            idx_ref[pl.ds(i, 1), :] = farthest.reshape(1, B)
+            sel = (col == farthest).astype(jnp.float32)
+            cx = jnp.sum(xs * sel, axis=1, keepdims=True)
+            cy = jnp.sum(ys * sel, axis=1, keepdims=True)
+            cz = jnp.sum(zs * sel, axis=1, keepdims=True)
+            d = (jnp.square(xs - cx) + jnp.square(ys - cy)
+                 + jnp.square(zs - cz))
+            dist = jnp.minimum(dist_ref[...], d)
+            dist_ref[...] = dist
+            m = jnp.max(dist, axis=1, keepdims=True)
+            return jnp.min(jnp.where(dist == m, col, N), axis=1,
+                           keepdims=True).astype(jnp.int32)
+
+        jax.lax.fori_loop(0, npoint, body, start_ref[...].reshape(B, 1))
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((3, B, N), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((npoint, B), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npoint, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xyz_t, start.reshape(B, 1))
+    return out.T
 
 
 def _fps_indices_pallas(xyz, npoint: int, start) -> jnp.ndarray:
