@@ -220,14 +220,19 @@ def fps(
 
 def knn_indices(xyz: jnp.ndarray, query: jnp.ndarray, k: int,
                 exact: Optional[bool] = None,
-                recall_target: float = 0.99) -> jnp.ndarray:
+                recall_target: float = 0.95) -> jnp.ndarray:
     """k nearest neighbours of each query point. xyz [B,N,C], query [B,S,C]
     -> [B,S,k] int32 (reference: dvae.py:107-118 knn_point).
 
     On TPU the default uses `lax.approx_min_k` (the TPU-native partial
-    selection; measured 2.8x faster than exact top_k at recall_target 0.99,
-    with actual neighbour recall ~0.998 — negligible for the max-pooled
-    group features). Pass exact=True for bit-parity with the reference."""
+    selection). recall_target is a cliff, not a dial: at the flagship shape
+    (B=64, S=512, N=8192, k=32) 0.95 and 0.97 both select the cheap
+    aggregation config — 9.8 ms with ACTUAL neighbour recall 0.9875 vs
+    exact — while 0.99 forces the expensive one (63 ms, recall 0.9973),
+    6.4x slower for +1% recall. The swapped neighbours are themselves
+    near-neighbours and the group features are max-pooled: tower features
+    agree with exact kNN to cosine >= 0.9999. Pass exact=True for
+    bit-parity with the reference."""
     d = square_distance(query, xyz)  # [B, S, N]
     if exact is None:
         from vitlens_tpu.ops.attention import _flash_available
