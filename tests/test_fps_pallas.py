@@ -44,3 +44,20 @@ def test_batched_fps_matches_xla_interpret():
         got = F._fps_indices_pallas_batched(xyz, 32, start, interpret=True)
         want = F._fps_indices_xla(xyz, 32, start)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fps_padding_for_unaligned_n(monkeypatch):
+    """N not divisible by 128 (e.g. vitlensG's 10000): fps_indices pads with
+    copies of point 0 — a duplicate can never win the argmax tie-break, so
+    indices match the unpadded XLA recurrence exactly."""
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.randn(8, 250, 3), jnp.float32)
+    start = jnp.asarray([0, 3, 100, 249, 7, 0, 11, 42], jnp.int32)
+    got = F.fps_indices(xyz, 32, start=start, use_pallas=True)
+    want = F._fps_indices_xla(xyz, 32, start)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(np.asarray(got).max()) < 250

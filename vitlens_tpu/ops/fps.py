@@ -67,12 +67,22 @@ def fps_indices(
     if use_pallas is None:
         from vitlens_tpu.ops.attention import _flash_available
 
-        use_pallas = _flash_available() and N % 128 == 0
+        use_pallas = _flash_available()
     if use_pallas:
+        if N % 128 != 0:
+            # pad to the lane width with copies of point 0: a duplicate has
+            # exactly point 0's distance-to-selected-set, and the argmax
+            # tie-break (min index among maxima) always prefers the original
+            # — so a padded index can never be emitted (tested vs the
+            # unpadded recurrence). Makes the kernel serve N=10000
+            # (vitlensG) instead of falling back to the slow XLA loop.
+            pad = (-N) % 128
+            xyz = jnp.concatenate(
+                [xyz, jnp.broadcast_to(xyz[:, :1], (B, pad, 3))], axis=1)
         # all-batch kernel when everything fits VMEM comfortably (~16 bytes
         # per point live): measured 7.9x over the per-batch grid kernel at
         # B=64, N=8192 (the grid serializes on the single TensorCore)
-        if B % 8 == 0 and 16 * B * N <= 48 * 1024 * 1024:
+        if B % 8 == 0 and 16 * B * xyz.shape[1] <= 48 * 1024 * 1024:
             return _fps_indices_pallas_batched(xyz, npoint, start)
         return _fps_indices_pallas(xyz, npoint, start)
     return _fps_indices_xla(xyz, npoint, start)
