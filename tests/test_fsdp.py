@@ -146,3 +146,37 @@ def test_fsdp_accum_and_bf16_composes(setup):
                      min_elems=128)
     ts3, m3 = bstep(ts3, batch, None)
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_fsdp_tp_2d_step_matches_single_device(setup):
+    """2D parallelism: FSDP over `data` x Megatron TP over `model` for the
+    visual trunk (parallel/fsdp.py::fsdp_tp_place) — same step factory,
+    GSPMD inserts both axes' collectives; numerics == single device."""
+    from vitlens_tpu.parallel.fsdp import fsdp_tp_place
+    from vitlens_tpu.parallel.mesh import make_mesh
+
+    cfg, params, state = setup
+    tx, mask = make_optimizer(
+        params, OptimizerConfig(lr=1e-3, warmup=1, total_steps=100))
+    sc = StepConfig(n_tower=3, local_loss=False, compute_dtype=jnp.float32,
+                    sync_bn=False)
+    batch = tiny_batch(np.random.RandomState(5), 16)
+
+    single = make_train_step(cfg, tx, mask, sc, mesh=None)
+    ts1 = init_train_state(params, state, tx)
+    ts1, m1 = single(ts1, batch, None)
+
+    devs = jax.local_devices(backend="cpu")[:8]
+    mesh = make_mesh(n_data=2, n_model=4, devices=devs)
+    fstep = make_train_step(cfg, tx, mask, sc, mesh=mesh, partition="fsdp")
+    ts2 = fsdp_tp_place(init_train_state(params, state, tx), mesh,
+                        min_elems=128)
+    # the visual trunk must actually be model-axis sharded
+    spec = ts2.params["visual"]["trunk"]["blocks"]["attn"]["qkv_w"].sharding.spec
+    assert spec == P(None, None, "model"), spec
+    ts2, m2 = fstep(ts2, batch, None)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts1.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)

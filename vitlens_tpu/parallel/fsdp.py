@@ -71,3 +71,49 @@ def fsdp_place(tree: Any, mesh: Mesh, *, min_elems: int = MIN_ELEMS) -> Any:
 def shardings_of(tree: Any) -> Any:
     """Read the committed sharding off every leaf of a placed pytree."""
     return jax.tree.map(lambda l: l.sharding, tree)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
+def fsdp_tp_shardings(ts: Any, mesh: Mesh, *,
+                      tp_towers=("visual",),
+                      min_elems: int = MIN_ELEMS) -> Any:
+    """2D parallelism: FSDP over `data` for everything, EXCEPT the trunk
+    weights of the named towers, which take the Megatron TP specs over
+    `model` (parallel/tp.py). Optimizer moments follow their parameters
+    (matched by path suffix — the Adam mu/nu trees mirror the params tree),
+    so no resharding happens between grad and update. The train step needs
+    no changes: `partition="fsdp"` jits the global-batch computation and
+    GSPMD inserts both the data-axis all-gathers/reduce-scatters and the
+    model-axis all-reduces. NB the fused-MLP kernel must be disabled under
+    TP (opaque custom call — SCALING.md)."""
+    from vitlens_tpu.parallel.tp import vision_tower_specs
+
+    base = fsdp_shardings(ts, mesh, min_elems=min_elems)
+    suffix_specs = {}
+    for tower in tp_towers:
+        specs = vision_tower_specs(ts.params[tower])
+        for path, spec in jax.tree_util.tree_flatten_with_path(
+                specs, is_leaf=lambda x: isinstance(x, P))[0]:
+            if spec != P():
+                suffix_specs[f"{tower}/{_path_str(path)}"] = spec
+
+    def override(path, sh):
+        ps = _path_str(path)
+        for suf, spec in suffix_specs.items():
+            if ps.endswith(suf):
+                return NamedSharding(mesh, spec)
+        return sh
+
+    return jax.tree_util.tree_map_with_path(override, base)
+
+
+def fsdp_tp_place(ts: Any, mesh: Mesh, *, tp_towers=("visual",),
+                  min_elems: int = MIN_ELEMS) -> Any:
+    """device_put a TrainState with the 2D (FSDP x TP) shardings."""
+    return jax.device_put(
+        ts, fsdp_tp_shardings(ts, mesh, tp_towers=tp_towers,
+                              min_elems=min_elems))
