@@ -5,7 +5,13 @@ the pipeline with identical loop methodology (bench.py style):
   tokenizer  = grouping + mini-PointNet + pos MLP
   full       = tokenizer + perceiver + ViT-L trunk + proj
 
-Run:  timeout 580 python scripts/bench_pc_breakdown.py
+Run:  timeout 1500 python scripts/bench_pc_breakdown.py
+(Three separate compiles + this tunnel's first-contact latency, measured
+200-600 s on 2026-08-17, can exceed 10 minutes before the first line of
+output — be patient. Results that informed the r2 grouping work, measured
+separately via in-jit scan loops: grouping was 94 ms of a 232 ms B64
+encode batch; after the batched-FPS kernel + kNN recall fix it is ~19 ms
+of 167 ms.)
 """
 
 from __future__ import annotations
