@@ -32,7 +32,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
 def main() -> int:
     x = jnp.ones((128, 128))
-    (x @ x).block_until_ready()
+    np.asarray(x @ x)  # block_until_ready is a no-op on axon; host-fetch fences
     print(json.dumps({"stage": "tpu_up"}), flush=True)
 
     from vitlens_tpu.models.vit import vision_tower_apply, vision_tower_init

@@ -27,7 +27,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 def main() -> int:
     x = jnp.ones((128, 128))
-    (x @ x).block_until_ready()
+    np.asarray(x @ x)  # block_until_ready is a no-op on axon; host-fetch fences
 
     from vitlens_tpu.config import make_model_config
     from vitlens_tpu.models import tri

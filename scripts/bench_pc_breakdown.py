@@ -57,7 +57,7 @@ def bench(fn, pc, iters=ITERS):
 
 def main() -> int:
     x = jnp.ones((128, 128))
-    (x @ x).block_until_ready()
+    np.asarray(x @ x)  # block_until_ready is a no-op on axon; host-fetch fences
 
     from vitlens_tpu.adapters.tokenizers import (
         group_points, point_tokenizer_apply,

@@ -33,7 +33,7 @@ ITERS = 10
 
 def main() -> int:
     x0 = jnp.ones((128, 128))
-    (x0 @ x0).block_until_ready()
+    np.asarray(x0 @ x0)  # block_until_ready is a no-op on axon; host-fetch fences
 
     from vitlens_tpu.models import layers as L
     from vitlens_tpu.ops import fused_mlp as FM

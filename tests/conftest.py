@@ -24,3 +24,16 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 def cpu_devices():
     return jax.local_devices(backend="cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_fused_mlp_switch():
+    """TP placement disables the fused-MLP kernel process-wide
+    (set_fused_mlp_enabled); keep tests order-independent."""
+    yield
+    from vitlens_tpu.ops import fused_mlp as _FM
+
+    _FM._FORCE_DISABLED = False

@@ -118,3 +118,37 @@ def test_fused_block_equals_resblock_mlp_half(monkeypatch):
     want = np.asarray(x + L.linear(L.gelu(h), p["mlp"]["proj"]), np.float32)
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 2.5e-2
+
+
+def test_programmatic_tp_kill_switch(monkeypatch):
+    """TP placement must disable the kernel without relying on the env var
+    (GSPMD cannot shard through the opaque custom call)."""
+    monkeypatch.setattr(
+        "vitlens_tpu.ops.attention._flash_available", lambda: True)
+    monkeypatch.delenv("VITLENS_DISABLE_FUSED_MLP", raising=False)
+    assert FM.fused_mlp_available()
+    FM.set_fused_mlp_enabled(False)
+    assert not FM.fused_mlp_available()
+    FM.set_fused_mlp_enabled(True)
+    assert FM.fused_mlp_available()
+
+    # both TP placement entry points flip the switch
+    import numpy as np_
+
+    import jax
+
+    from vitlens_tpu.models import layers as L
+    from vitlens_tpu.parallel.mesh import make_mesh
+    from vitlens_tpu.parallel.tp import shard_vision_tower
+
+    from vitlens_tpu.models.vit import vision_tower_init
+    from vitlens_tpu.config import TowerConfig, VisionArch
+
+    arch = VisionArch(image_size=28, patch_size=14, width=32, layers=1,
+                      head_width=16)
+    tower = TowerConfig(arch=arch, embed_dim=16, modality="image")
+    params, _ = vision_tower_init(jax.random.PRNGKey(0), tower)
+    mesh = make_mesh(n_data=2, n_model=4,
+                     devices=jax.local_devices(backend="cpu")[:8])
+    shard_vision_tower(params, mesh)
+    assert not FM.fused_mlp_available()

@@ -104,11 +104,18 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
                                         aug_cfg=args.aug_cfg,
                                         seed=args.seed)
                     if train else ImageProcessor(image_size=size))
+        # hf-text archs (roberta-ViT-B-32 etc.) must tokenize with their
+        # HF tokenizer, not CLIP BPE — same dispatch as main()
+        from vitlens_tpu.text.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(
+            hf_tokenizer_name=(cfg.text.hf_tokenizer_name
+                               if cfg is not None else None))
         return CsvDataset(spec, img_key=args.csv_img_key,
                           caption_key=args.csv_caption_key,
                           sep=args.csv_separator,
                           image_processor=img_proc,
-                          text_processor=TextProcessor())
+                          text_processor=TextProcessor(tokenizer=tok))
     m = args.modality
     if m == "audio":
         pk = None

@@ -381,10 +381,11 @@ ARCH_REGISTRY: Dict[str, Dict[str, Any]] = {
     # xlm-roberta-base-ViT-B-32, xlm-roberta-large-ViT-H-14}.json): the text
     # tower is the TPU-native BERT-family encoder (models/bert_text.py)
     # configured from the named HF arch; mean_pooler + mlp proj per the
-    # reference text_cfg. NB roberta-ViT-B-32.json sets quick_gelu: true —
-    # pass quick_gelu=True when building it (as for the *-quickgelu tags).
+    # reference text_cfg. roberta-ViT-B-32.json sets quick_gelu: true; the
+    # entry carries it so the builders default to QuickGELU for this arch.
     "roberta-ViT-B-32": dict(
         embed_dim=512,
+        quick_gelu=True,
         vision=VisionArch(image_size=224, patch_size=32, width=768,
                           layers=12),
         text=TextArch(width=768, heads=12, layers=12, vocab_size=50265,
@@ -452,6 +453,9 @@ def make_tower_config(
     arch_entry = get_arch(model)
     arch: VisionArch = arch_entry["vision"]
     embed_dim: int = arch_entry["embed_dim"]
+    # some archs bake quick_gelu into their reference json (e.g.
+    # roberta-ViT-B-32.json "quick_gelu": true) — honor the registry default
+    quick_gelu = quick_gelu or arch_entry.get("quick_gelu", False)
 
     kw: Dict[str, Any] = dict(
         arch=arch, embed_dim=embed_dim, modality=modality, quick_gelu=quick_gelu
@@ -494,6 +498,7 @@ def make_model_config(
     """force_image_size: run the trunk at a different resolution (reference
     --force-image-size; pos-emb converter resizes grid->grid bicubic)."""
     arch_entry = get_arch(model)
+    quick_gelu = quick_gelu or arch_entry.get("quick_gelu", False)
     vision = arch_entry["vision"]
     if force_image_size is not None:
         vision = replace(vision, image_size=force_image_size)

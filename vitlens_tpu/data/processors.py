@@ -45,13 +45,17 @@ def _wrap_list(x):
 
 class TextProcessor:
     def __init__(self, prompt: str = "", max_words: int = 70,
-                 context_length: int = 77):
+                 context_length: int = 77, tokenizer=None):
+        """tokenizer: override the default CLIP BPE — hf-text models
+        (TextArch.hf_tokenizer_name) must tokenize with THEIR tokenizer."""
         self.prompt = prompt
         self.max_words = max_words
         self.context_length = context_length
-        from vitlens_tpu.text.tokenizer import get_tokenizer
+        if tokenizer is None:
+            from vitlens_tpu.text.tokenizer import get_tokenizer
 
-        self.tokenizer = get_tokenizer()
+            tokenizer = get_tokenizer()
+        self.tokenizer = tokenizer
 
     def pre_caption(self, caption: str) -> str:
         caption = _re.sub(r"([.!\"()*#:;~])", " ", caption.lower())

@@ -73,7 +73,8 @@ def bert_encoder_apply(p: Params, input_ids: jnp.ndarray,
                        attention_mask: Optional[jnp.ndarray],
                        heads: int, position_style: str = "bert",
                        pad_id: int = 0,
-                       compute_dtype=jnp.float32
+                       compute_dtype=jnp.float32,
+                       remat: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """input_ids [B, N] int32, attention_mask [B, N] (1=real, 0=pad).
     Returns (last_hidden_state [B, N, H], pooler_output [B, H]).
@@ -118,6 +119,8 @@ def bert_encoder_apply(p: Params, input_ids: jnp.ndarray,
         y = linear(gelu(linear(x, bp["inter"])), bp["out"])
         return layer_norm(x + y, bp["out_ln"], LN_EPS), None
 
+    if remat:  # --grad-checkpointing, same policy as models/layers.py
+        block = jax.checkpoint(block)
     h, _ = jax.lax.scan(block, h, p["blocks"])
     pooled = jnp.tanh(linear(h[:, 0], p["pooler"]))
     return h, pooled
@@ -169,14 +172,15 @@ def bert_text_encode(params: Params, input_ids: jnp.ndarray,
                      pooler_type: str = "mean_pooler",
                      position_style: str = "bert",
                      pad_id: int = 0,
-                     compute_dtype=jnp.float32) -> jnp.ndarray:
+                     compute_dtype=jnp.float32,
+                     remat: bool = False) -> jnp.ndarray:
     """Full HFTextEncoder.forward equivalent (hf_model.py:205-224)."""
     if attention_mask is None:
         attention_mask = (input_ids != pad_id).astype(jnp.int32)
     hidden, pooled = bert_encoder_apply(params["encoder"], input_ids,
                                         attention_mask, heads,
                                         position_style, pad_id,
-                                        compute_dtype)
+                                        compute_dtype, remat)
     feats = pool(hidden, pooled, attention_mask, pooler_type)
     return proj_apply(params["proj"], feats)
 
@@ -202,12 +206,14 @@ def hf_text_tower_init(key, t, embed_dim: int) -> Params:
 
 
 def hf_text_tower_apply(params: Params, text: jnp.ndarray, t,
-                        compute_dtype=jnp.float32) -> jnp.ndarray:
+                        compute_dtype=jnp.float32,
+                        remat: bool = False) -> jnp.ndarray:
     """text [B, N] int ids (pad = t.hf_pad_id) -> [B, embed_dim]."""
     return bert_text_encode(
         params, text.astype(jnp.int32), None, heads=t.heads,
         pooler_type=t.hf_pooler_type, position_style=t.hf_style,
-        pad_id=t.hf_pad_id, compute_dtype=compute_dtype)
+        pad_id=t.hf_pad_id, compute_dtype=compute_dtype,
+        remat=remat)
 
 
 # ---------------------------------------------------------------------------

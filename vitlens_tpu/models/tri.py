@@ -94,7 +94,8 @@ def encode_text(
         from vitlens_tpu.models.bert_text import hf_text_tower_apply
 
         feats = hf_text_tower_apply(params["text"], text, cfg.text,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    remat=bool(remat))
     else:
         feats = text_tower_apply(
             params["text"], text, cfg.text,

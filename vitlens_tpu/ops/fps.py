@@ -79,10 +79,13 @@ def fps_indices(
             pad = (-N) % 128
             xyz = jnp.concatenate(
                 [xyz, jnp.broadcast_to(xyz[:, :1], (B, pad, 3))], axis=1)
-        # all-batch kernel when everything fits VMEM comfortably (~16 bytes
-        # per point live): measured 7.9x over the per-batch grid kernel at
-        # B=64, N=8192 (the grid serializes on the single TensorCore)
-        if B % 8 == 0 and 16 * B * xyz.shape[1] <= 48 * 1024 * 1024:
+        # all-batch kernel when everything fits VMEM comfortably: persistent
+        # state is 16 B/point (xyz + dist scratch) but the loop body's
+        # temporaries (iota/sel/d) roughly double live VMEM, so gate with
+        # 2.5x headroom against the 64 MB cap. Measured 7.9x over the
+        # per-batch grid kernel at B=64, N=8192 (the grid serializes on the
+        # single TensorCore).
+        if B % 8 == 0 and 16 * B * xyz.shape[1] <= 24 * 1024 * 1024:
             return _fps_indices_pallas_batched(xyz, npoint, start)
         return _fps_indices_pallas(xyz, npoint, start)
     return _fps_indices_xla(xyz, npoint, start)

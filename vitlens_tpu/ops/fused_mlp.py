@@ -203,10 +203,23 @@ def _make_op(act: str, eps: float):
     return op
 
 
+_FORCE_DISABLED = False
+
+
+def set_fused_mlp_enabled(enabled: bool) -> None:
+    """Programmatic kill switch. Tensor-parallel placement calls this with
+    False (parallel/tp.py, parallel/fsdp.py::fsdp_tp_place): GSPMD cannot
+    propagate the model-axis weight shardings through the opaque
+    tpu_custom_call, so under TP the MLP must take the XLA path (whose
+    matmuls shard as documented in SCALING.md)."""
+    global _FORCE_DISABLED
+    _FORCE_DISABLED = not enabled
+
+
 def fused_mlp_available() -> bool:
     import os
 
-    if os.environ.get("VITLENS_DISABLE_FUSED_MLP"):
+    if _FORCE_DISABLED or os.environ.get("VITLENS_DISABLE_FUSED_MLP"):
         return False
     from vitlens_tpu.ops.attention import _flash_available
 

@@ -113,7 +113,12 @@ def fsdp_tp_shardings(ts: Any, mesh: Mesh, *,
 
 def fsdp_tp_place(ts: Any, mesh: Mesh, *, tp_towers=("visual",),
                   min_elems: int = MIN_ELEMS) -> Any:
-    """device_put a TrainState with the 2D (FSDP x TP) shardings."""
+    """device_put a TrainState with the 2D (FSDP x TP) shardings. Disables
+    the fused-MLP kernel process-wide (opaque custom call — GSPMD cannot
+    shard through it; see set_fused_mlp_enabled)."""
+    from vitlens_tpu.ops.fused_mlp import set_fused_mlp_enabled
+
+    set_fused_mlp_enabled(False)
     return jax.device_put(
         ts, fsdp_tp_shardings(ts, mesh, tp_towers=tp_towers,
                               min_elems=min_elems))

@@ -66,7 +66,14 @@ def _path_str(path) -> str:
 
 
 def shard_vision_tower(params: Params, mesh: Mesh) -> Params:
-    """device_put the tower params with TP shardings over `mesh`."""
+    """device_put the tower params with TP shardings over `mesh`.
+
+    Also disables the fused-MLP Pallas kernel process-wide: GSPMD cannot
+    shard through its opaque custom call (SCALING.md), and forgetting the
+    env kill-switch would otherwise break every TP run."""
+    from vitlens_tpu.ops.fused_mlp import set_fused_mlp_enabled
+
+    set_fused_mlp_enabled(False)
     specs = vision_tower_specs(params)
     spec_map = {
         _path_str(path): s

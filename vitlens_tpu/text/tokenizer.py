@@ -230,6 +230,9 @@ class HFTokenizer:
                  ) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
+        # the reference HFTokenizer cleans before tokenizing
+        # (tokenizer.py:224-231 whitespace_clean(basic_clean(text)))
+        texts = [_whitespace_clean(_basic_clean(t)) for t in texts]
         out = self.tokenizer(
             list(texts), padding="max_length", truncation=True,
             max_length=context_length, return_tensors="np",
