@@ -52,3 +52,32 @@ def test_unnormalized_encode(model):
     out = model.encode({ModalityType.TEXT: ["hello"]}, normalize=False)
     n = float(np.linalg.norm(np.asarray(out["text"])))
     assert n > 0 and abs(n - 1.0) > 1e-3  # genuinely unnormalized
+
+
+def test_batch_buckets_exact(model):
+    """batch_buckets serving mode: padded-batch embeddings are exactly the
+    unpadded ones (rows compute independently), sliced to the true B."""
+    bucketed = ViTLens(
+        model_var="vitlensB", modality_loaded=["image", "text"],
+        batch_buckets=(4, 8),
+    )
+    # share weights with the exact-shape model for a true A/B
+    for m in ("image", "text"):
+        bucketed._towers[m] = model._towers[m]
+    bucketed._jit_cache.clear()
+
+    inputs = {
+        ModalityType.IMAGE: [f"{ASSETS}/image_bird.jpg",
+                             f"{ASSETS}/image_dog.jpg"],
+        ModalityType.TEXT: ["a bird", "a dog", "sea wave"],
+    }
+    want = model.encode(inputs, normalize=True)
+    got = bucketed.encode(inputs, normalize=True)
+    assert got["image"].shape == (2, 512) and got["text"].shape == (3, 512)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=2e-6)
+
+    # a batch above every bucket runs at its exact shape
+    many = {ModalityType.TEXT: ["t%d" % i for i in range(9)]}
+    assert bucketed.encode(many)["text"].shape == (9, 512)

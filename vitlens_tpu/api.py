@@ -49,10 +49,18 @@ class ViTLens:
         checkpoints: Optional[Dict[str, str]] = None,
         compute_dtype=jnp.float32,
         seed: int = 0,
+        batch_buckets: Optional[Sequence[int]] = None,
     ):
+        """batch_buckets: serving aid — pad each encode batch up to the
+        next bucket size so XLA compiles once per bucket instead of once
+        per distinct batch size (padded rows are zero inputs, computed
+        row-independently and sliced off; embeddings are exact). E.g.
+        `batch_buckets=(1, 8, 32)`. None = exact shapes (default)."""
         trunk = {"vitlensL": "ViT-L-14", "vitlensB": "ViT-B-16"}[model_var]
         self.model_var = model_var
         self.trunk = trunk
+        self.batch_buckets = (tuple(sorted(batch_buckets))
+                              if batch_buckets else None)
         self.compute_dtype = compute_dtype
         self.modalities = list(modality_loaded)
         self.processors = default_processors(self.modalities)
@@ -157,19 +165,35 @@ class ViTLens:
                 raise KeyError(f"modality {m!r} not loaded; have {self.modalities}")
             x = data if preprocessed else self.processors[m](data)
             x = jnp.asarray(np.asarray(x))
+            B = x.shape[0]
+            x = self._pad_to_bucket(x)
             entry = self._towers[m]
             fn = self._encode_fn(m)
             if entry["kind"] == "text":
                 feats = fn(entry["params"], x)
             elif m == "audio" and x.ndim == 4:
-                B, S = x.shape[:2]
+                Bp, S = x.shape[:2]
                 feats = fn(entry["params"], entry["state"],
-                           x.reshape((B * S,) + x.shape[2:]))
-                feats = feats.reshape(B, S, -1).mean(axis=1)  # clip mean
+                           x.reshape((Bp * S,) + x.shape[2:]))
+                feats = feats.reshape(Bp, S, -1).mean(axis=1)  # clip mean
             else:
                 feats = fn(entry["params"], entry["state"], x)
+            feats = feats[:B]
             out[m] = _l2n(feats) if normalize else feats
         return out
+
+    def _pad_to_bucket(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Zero-pad the batch dim up to the next configured bucket (every
+        tower computes rows independently in eval mode, so the padded rows
+        cannot perturb the real ones)."""
+        if self.batch_buckets is None:
+            return x
+        B = x.shape[0]
+        bucket = next((b for b in self.batch_buckets if b >= B), B)
+        if bucket == B:
+            return x
+        pad = jnp.zeros((bucket - B,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
 
     # -- checkpoint export (reference vitlens.py:153-159) ------------------
 
