@@ -305,6 +305,9 @@ def ball_query(
         jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
     )
     cand = jnp.where(in_ball, arange, N)
-    cand = jnp.sort(cand, axis=-1)[..., :nsample]
+    # k smallest indices in ascending order == what sorting then slicing
+    # gives, but top_k is O(N log k) not a full O(N log N) sort over the
+    # [B, S, N] tensor (N=10240 for vitlensG)
+    cand = -jax.lax.top_k(-cand, min(nsample, N))[0]
     first = cand[..., :1]
     return jnp.where(cand == N, first, cand).astype(jnp.int32)
