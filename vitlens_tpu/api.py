@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from vitlens_tpu.config import make_model_config, image_tower_config
 from vitlens_tpu.data.processors import default_processors
-from vitlens_tpu.models import tri
 from vitlens_tpu.models.text import text_tower_apply
 from vitlens_tpu.models.vit import vision_tower_apply
 

@@ -16,7 +16,7 @@ sampling/transform math is decoder-independent.
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 from PIL import Image

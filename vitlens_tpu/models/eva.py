@@ -23,7 +23,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from vitlens_tpu.config import PerceiverConfig, TowerConfig, VisionArch
+from vitlens_tpu.config import TowerConfig, VisionArch
 from vitlens_tpu.models import layers as L
 from vitlens_tpu.models.perceiver import perceiver_apply, perceiver_init
 from vitlens_tpu.models.vit import _adapter_apply, _adapter_init
@@ -214,7 +214,6 @@ def perceiver_eva_apply(
 def convert_eva_state_dict(sd, arch: EVAArch) -> Params:
     """blocks.N.{norm1,attn.qkv,attn.q_bias,attn.v_bias,attn.proj,norm2,
     mlp.fc1,mlp.fc2}, patch_embed.proj, cls_token, pos_embed, norm, head."""
-    import numpy as np
 
     from vitlens_tpu.weights.torch_convert import _j, _ln, _np
 

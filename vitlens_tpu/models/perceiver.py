@@ -15,7 +15,7 @@ use attn/ff dropout 0.0 — mm_vit_lens/model_cfg.py).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

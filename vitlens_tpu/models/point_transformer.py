@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from vitlens_tpu.config import PointAdapterConfig
 from vitlens_tpu.adapters import tokenizers as tok
 from vitlens_tpu.models import layers as L
-from vitlens_tpu.ops.fps import group_points
 
 Params = Dict[str, Any]
 State = Dict[str, Any]

@@ -14,7 +14,7 @@ stats by default (CLIP RN towers are used frozen here).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -113,7 +113,7 @@ def modified_resnet_apply(p: Params, x: jnp.ndarray, arch: ResNetArch,
 
 def convert_modified_resnet(sd, arch: ResNetArch) -> Params:
     """torch state dict -> pytree (direct conv copies, NCHW/OIHW kept)."""
-    from vitlens_tpu.weights.torch_convert import _j, _np
+    from vitlens_tpu.weights.torch_convert import _j
 
     def bn(name):
         return {"scale": _j(sd[f"{name}.weight"]), "bias": _j(sd[f"{name}.bias"]),

@@ -8,7 +8,7 @@ positional embedding -> causal transformer -> ln_final -> EOT pooling
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

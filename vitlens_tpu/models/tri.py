@@ -7,7 +7,6 @@ pytrees; encode_* are pure functions suitable for jit/pjit.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import math
@@ -15,7 +14,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from vitlens_tpu.config import ModelConfig, TowerConfig, image_tower_config
+from vitlens_tpu.config import ModelConfig, image_tower_config
 from vitlens_tpu.models.text import text_tower_apply, text_tower_init
 from vitlens_tpu.models.vit import vision_tower_apply, vision_tower_init
 

@@ -13,7 +13,6 @@ perceiver.py:127-152).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

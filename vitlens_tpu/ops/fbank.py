@@ -19,10 +19,7 @@ htk_compat only reorders the energy bin, which is unused (use_energy=False).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -20,7 +20,6 @@ import os
 import re
 import shutil
 import threading
-import time
 from typing import Any, Dict, Optional
 
 import jax

@@ -18,7 +18,6 @@ TPU re-design of /root/reference/VitLens-OpenShape/src/{main,train,data}.py:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -27,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from vitlens_tpu.config import (
-    ModelConfig, PerceiverConfig, PointAdapterConfig, TowerConfig, get_arch,
+    PerceiverConfig, PointAdapterConfig, TowerConfig, get_arch,
 )
 from vitlens_tpu.models.layers import _kaiming_uniform, _bias_uniform
 from vitlens_tpu.models.vit import vision_tower_apply, vision_tower_init

@@ -8,7 +8,7 @@ equivalent of a TorchScript trace.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 
 def export_stablehlo(fn: Callable, *example_args, platforms=None) -> bytes:

@@ -7,7 +7,7 @@ executable, which reflects the program actually run (post-fusion).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 

@@ -18,7 +18,7 @@ Weight-layout remaps (torch -> ours):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
