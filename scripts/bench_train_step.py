@@ -9,7 +9,8 @@ Run:  BENCH_MODALITY=pc    BENCH_BATCH=64  timeout 1500 python scripts/bench_tra
 Measured 2026-08-17: pc 122 samples/s/chip @ B64 (was 99 before the
 batched FPS kernel + kNN recall-cliff fix; B128 OOMs by ~340 MB under
 the scan-carried state); audio 122 samples/s/chip @ B128 (the r1 README
-figure of 93-94 was CLI-path and partly dispatch-bound)."""
+figure of 93-94 was CLI-path and partly dispatch-bound; audio B256 OOMs
+by ~46 MB under the carried state)."""
 
 import os, sys, time, json
 sys.path.insert(0, "/root/repo")
