@@ -101,6 +101,10 @@ class TrainArgs:
 
     # parallelism
     n_devices: Optional[int] = None   # default all
+    # overlap host->device batch staging with compute (DevicePrefetcher,
+    # the reference PrefetchLoader equivalent, training/data.py:42-107);
+    # --no-input-prefetch restores synchronous per-step transfer
+    input_prefetch: bool = True
     use_bn_sync: bool = True
     # FSDP/ZeRO: store params + Adam moments sharded over the data axis
     # (parallel/fsdp.py; GSPMD inserts the collectives). DDP when off —

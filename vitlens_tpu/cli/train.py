@@ -195,8 +195,14 @@ def _prep_batch(raw: Dict[str, Any], args: TrainArgs, tokenizer) -> Dict[str, An
     return batch
 
 
-def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, float]:
-    """Zero-shot eval on --val-data (dispatch on dataset.eval_metric)."""
+def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer,
+             mesh=None) -> Dict[str, float]:
+    """Zero-shot eval on --val-data (dispatch on dataset.eval_metric).
+
+    With a mesh, visual/image encode batches are sharded over the data axis
+    so eval touches every chip (the reference shards eval across ranks,
+    zero_shot.py:709-788); classifier build stays host-side. Single-device
+    numbers are unchanged — padding rows are trimmed before metrics."""
     if not args.val_data:
         return {}
     from vitlens_tpu.eval.zero_shot import (
@@ -205,6 +211,28 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
     )
 
     compute_dtype = _dtype(args)
+
+    if mesh is not None:
+        from vitlens_tpu.parallel.mesh import data_sharding, replicated
+
+        # host arrays -> replicate onto the mesh once; arrays already placed
+        # (e.g. FSDP-sharded train params) keep their sharding — GSPMD
+        # inserts the gathers inside the jit
+        def _place(t):
+            return jax.tree.map(
+                lambda x: x if isinstance(x, jax.Array)
+                else jax.device_put(x, replicated(mesh)), t)
+
+        params, model_state = _place(params), _place(model_state)
+        _dsh = data_sharding(mesh)
+        _ndata = mesh.shape["data"]
+
+    def _shard_rows(x: np.ndarray):
+        """Pad the batch dim to a multiple of the data axis and shard."""
+        pad = (-len(x)) % _ndata
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        return jax.device_put(x, _dsh)
 
     # params/state are explicit jit args (donating them to a closure would
     # bake the weights into the jaxpr as constants and re-trace every epoch)
@@ -220,8 +248,13 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
                                compute_dtype=compute_dtype)
 
     def encode_visual(x):
-        return np.asarray(enc_vis(params, model_state, jnp.asarray(x)),
-                          np.float32)
+        x = np.asarray(x)
+        if mesh is None:
+            return np.asarray(enc_vis(params, model_state, jnp.asarray(x)),
+                              np.float32)
+        out = np.asarray(enc_vis(params, model_state, _shard_rows(x)),
+                         np.float32)
+        return out[: len(x)]
 
     def encode_text(toks):
         return np.asarray(enc_txt(params, jnp.asarray(toks)), np.float32)
@@ -244,9 +277,10 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer) -> Dict[str, 
 
             img_feats, txt_feats = [], []
             for b in info.dataloader:
+                img = np.asarray(b["image"])
+                ix = (jnp.asarray(img) if mesh is None else _shard_rows(img))
                 img_feats.append(np.asarray(
-                    enc_img(params, model_state, jnp.asarray(b["image"])),
-                    np.float32))
+                    enc_img(params, model_state, ix), np.float32)[: len(img)])
                 txt_feats.append(np.asarray(
                     enc_txt(params, jnp.asarray(b["text"])), np.float32))
             tf = np.concatenate(txt_feats)
@@ -440,7 +474,8 @@ def main(argv=None) -> int:
 
     train_info = build_train_data(args, tokenizer, n_shards, cfg)
     if train_info is None:
-        results = evaluate(args, params, model_state, cfg, tokenizer)
+        results = evaluate(args, params, model_state, cfg, tokenizer,
+                           mesh=mesh)
         flat = {(os.path.basename(k) if os.path.sep in k else k):
                 _primary_metric({k: v}) for k, v in results.items()}
         flat.update(_flatten_results(results))
@@ -507,10 +542,20 @@ def main(argv=None) -> int:
     trace_active = False
     for epoch in range(start_epoch, args.epochs):
         train_info.set_epoch(epoch)
-        for raw in train_info.dataloader:
-            batch = _prep_batch(raw, args, tokenizer)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
+        if args.input_prefetch:
+            # batch N+1's prep + H2D copy overlaps batch N's compute on a
+            # staging thread (reference PrefetchLoader, training/data.py:42-107)
+            from vitlens_tpu.data.loader import DevicePrefetcher
+
+            batches = DevicePrefetcher(
+                train_info.dataloader, mesh=mesh,
+                map_fn=lambda raw: _prep_batch(raw, args, tokenizer))
+        else:
+            batches = (
+                shard_batch(mesh, _prep_batch(raw, args, tokenizer))
+                if mesh is not None else _prep_batch(raw, args, tokenizer)
+                for raw in train_info.dataloader)
+        for batch in batches:
             rng, sub = jax.random.split(rng)
             if args.profile_steps and global_step == 2:
                 # steady state: step 0 compiles, step 1 warms caches
@@ -539,8 +584,11 @@ def main(argv=None) -> int:
         # worker so the next epoch starts immediately)
         host_ts = jax.tree.map(np.asarray, ts)
         if args.val_data and (epoch + 1) % args.val_frequency == 0:
-            results = evaluate(args, host_ts.params, host_ts.model_state, cfg,
-                               tokenizer)
+            # device-resident train params go straight into the eval jits
+            # (no host round-trip); under a mesh the encode batches shard
+            # over the data axis so all chips participate
+            results = evaluate(args, ts.params, ts.model_state, cfg,
+                               tokenizer, mesh=mesh)
             metric = _primary_metric(results)
             writer.log({"primary": metric, **_flatten_results(results)},
                        global_step, "val")

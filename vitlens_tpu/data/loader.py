@@ -177,18 +177,28 @@ class DataLoader:
 
 
 class DevicePrefetcher:
-    """Async host->device staging, one batch ahead (the TPU equivalent of the
-    CUDA-stream PrefetchLoader, data.py:42-107). Optionally shards batches
-    over a mesh data axis."""
+    """Async host->device staging, `depth` batches ahead (the TPU equivalent
+    of the CUDA-stream PrefetchLoader, data.py:42-107). Optionally shards
+    batches over a mesh data axis.
 
-    def __init__(self, loader: Iterable, mesh=None, exclude_keys=()):
+    Staging runs on a dedicated worker thread: jax.device_put is nominally
+    async, but through a device tunnel the dispatch itself can block on the
+    wire, so the thread is what actually lets batch N+1's H2D copy overlap
+    batch N's compute."""
+
+    def __init__(self, loader: Iterable, mesh=None, exclude_keys=(),
+                 depth: int = 2, map_fn: Optional[Callable] = None):
         self.loader = loader
         self.mesh = mesh
         self.exclude = set(exclude_keys)
+        self.depth = max(int(depth), 1)
+        self.map_fn = map_fn
 
     def _put(self, batch):
         import jax
 
+        if self.map_fn is not None:
+            batch = self.map_fn(batch)
         arrays = {k: v for k, v in batch.items()
                   if isinstance(v, np.ndarray) and k not in self.exclude}
         rest = {k: v for k, v in batch.items() if k not in arrays}
@@ -202,15 +212,23 @@ class DevicePrefetcher:
         return staged
 
     def __iter__(self):
+        from collections import deque
+
         it = iter(self.loader)
-        try:
-            nxt = self._put(next(it))
-        except StopIteration:
-            return
-        for batch in it:
-            cur, nxt = nxt, self._put(batch)  # device copy overlaps consumer
-            yield cur
-        yield nxt
+
+        def task():  # runs on the single worker thread only (serialized)
+            return self._put(next(it))
+
+        with cf.ThreadPoolExecutor(1) as pool:
+            pending = deque(pool.submit(task) for _ in range(self.depth))
+            while pending:
+                fut = pending.popleft()
+                try:
+                    batch = fut.result()
+                except StopIteration:
+                    break
+                pending.append(pool.submit(task))
+                yield batch
 
     def __len__(self):
         return len(self.loader)
