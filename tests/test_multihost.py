@@ -1,0 +1,88 @@
+"""Two-process "multi-host" execution on CPU (VERDICT r2 item 4).
+
+Spawns 2 subprocesses with torchrun-style env (MASTER_ADDR/MASTER_PORT/
+WORLD_SIZE/RANK — the reference's env bootstrap, training/
+distributed.py:12-144), each with 4 forced CPU devices, forming an 8-device
+global mesh. Each rank runs tests/_multihost_worker.py: init_distributed ->
+one sharded tri train step (cross-process gathered InfoNCE + sync-BN) ->
+metric merge via process_allgather -> broadcast/all_gather_object.
+
+Skipped (not failed) if the coordinator can't bind or gloo collectives are
+unavailable in this jax build.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO_ROOT, "tests", "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env(rank: int, port: int) -> dict:
+    env = dict(os.environ)
+    # CPU-only jax: drop the axon TPU site hook (two ranks must not contend
+    # for the single tunnel chip) and force 4 host devices per process
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = REPO_ROOT
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["MASTER_ADDR"] = "127.0.0.1"
+    env["MASTER_PORT"] = str(port)
+    env["WORLD_SIZE"] = "2"
+    env["RANK"] = str(rank)
+    return env
+
+
+def test_two_process_mesh_step_and_metric_merge():
+    port = _free_port()
+    procs = [
+        subprocess.Popen([sys.executable, WORKER], env=_worker_env(r, port),
+                         cwd=REPO_ROOT, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for r in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("multi-host workers timed out (coordinator/gloo "
+                    "unavailable in this environment)")
+
+    for rc, out, err in outs:
+        if rc != 0 and ("UNAVAILABLE" in err or "failed to connect" in err
+                        or "Address already in use" in err):
+            pytest.skip(f"distributed runtime unavailable: {err[-400:]}")
+        assert rc == 0, f"worker failed:\nstdout={out}\nstderr={err[-2000:]}"
+
+    results = []
+    for rc, out, err in outs:
+        line = [l for l in out.splitlines() if l.startswith("MULTIHOST_OK")]
+        assert line, out
+        results.append(json.loads(line[0].split(" ", 1)[1]))
+
+    r0, r1 = sorted(results, key=lambda r: r["rank"])
+    assert r0["rank"] == 0 and r1["rank"] == 1
+    # both ranks computed the SAME global loss/grad over the sharded batch
+    assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-5)
+    assert r0["grad_norm"] == pytest.approx(r1["grad_norm"], abs=1e-5)
+    assert r0["grad_norm"] > 0
+    # metric merge and object collectives agree across ranks
+    assert r0["accuracy"] == pytest.approx(r1["accuracy"])
+    assert r0["bcast"] == r1["bcast"] == "ckpt-from-rank-0"
+    assert r0["gather"] == r1["gather"] == [0, 1]

@@ -25,14 +25,37 @@ MODEL_AXIS = "model"
 
 def init_distributed() -> int:
     """Multi-host bootstrap (the torchrun/SLURM env discovery of reference
-    distributed.py:24-121). jax.distributed.initialize reads
-    COORDINATOR_ADDRESS/num_processes/process_id from standard env vars
-    (incl. SLURM) on TPU pods; single-host is a no-op. Returns process
-    index."""
+    distributed.py:24-121). Discovery order:
+
+    - torchrun-style MASTER_ADDR/MASTER_PORT + WORLD_SIZE/RANK (the
+      reference's primary path, distributed.py:24-69)
+    - SLURM_NTASKS/SLURM_PROCID + COORDINATOR_ADDRESS
+    - bare COORDINATOR_ADDRESS -> jax.distributed.initialize() auto-detect
+      (TPU-pod metadata et al.)
+
+    Single-process (none of the above): no-op. Returns the process index."""
     import os
 
-    if (os.environ.get("COORDINATOR_ADDRESS")
-            or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in ("", "1")):
+    # NB: jax.process_count() would INITIALIZE the backends and lock the
+    # process into single-host mode — probe the distributed client instead
+    if jax.distributed.is_initialized():
+        return jax.process_index()
+    env = os.environ
+    addr = env.get("COORDINATOR_ADDRESS")
+    nproc = pid = None
+    if env.get("WORLD_SIZE", "1") not in ("", "1") and env.get("MASTER_ADDR"):
+        addr = addr or (f"{env['MASTER_ADDR']}:"
+                        f"{env.get('MASTER_PORT', '29500')}")
+        nproc, pid = int(env["WORLD_SIZE"]), int(env["RANK"])
+    elif env.get("SLURM_NTASKS", "1") not in ("", "1"):
+        nproc, pid = int(env["SLURM_NTASKS"]), int(env["SLURM_PROCID"])
+    if nproc is not None:
+        try:
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=nproc, process_id=pid)
+        except RuntimeError:
+            pass  # already initialized
+    elif addr:
         try:
             jax.distributed.initialize()
         except RuntimeError:
@@ -63,14 +86,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-dim sharding."""
+    """Device-put a pytree of host arrays with batch-dim sharding.
+
+    On a multi-host mesh each process passes its LOCAL slice of the global
+    batch (the per-rank batch of the reference's DistributedSampler) and a
+    global jax.Array is assembled from the process-local shards."""
     s = data_sharding(mesh)
+    if _spans_processes(mesh):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
+    if _spans_processes(mesh):
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, r, lambda i: x[i])
+
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
 
 
@@ -83,19 +125,41 @@ def local_batch_size(mesh: Mesh, global_batch: int) -> int:
 def broadcast_object(obj, root: int = 0):
     """Broadcast a picklable object from the root process (reference
     distributed.py broadcast_object; used e.g. to agree on the resume
-    checkpoint path). Single-process: identity."""
+    checkpoint path). Single-process: identity.
+
+    multihost_utils only moves arrays, so the object is pickled to a uint8
+    payload: first the length is broadcast (so non-root ranks can allocate
+    a same-shape buffer), then the payload."""
     if jax.process_count() == 1:
         return obj
-    from jax.experimental import multihost_utils  # pragma: no cover
+    import pickle
 
-    return multihost_utils.broadcast_one_to_all(obj)  # pragma: no cover
+    from jax.experimental import multihost_utils
+
+    is_src = jax.process_index() == root
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.array(len(payload), np.int64), is_source=is_src))
+    buf = payload if is_src else np.zeros(n, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf, is_source=is_src)
+    return pickle.loads(np.asarray(out).tobytes())
 
 
 def all_gather_object(obj):
-    """Gather per-process objects to every process (reference
-    distributed.py all_gather_object). Single-process: [obj]."""
+    """Gather per-process picklable objects to every process (reference
+    distributed.py all_gather_object). Single-process: [obj]. Same pickled
+    uint8 protocol as broadcast_object, padded to the max payload length."""
     if jax.process_count() == 1:
         return [obj]
-    from jax.experimental import multihost_utils  # pragma: no cover
+    import pickle
 
-    return list(multihost_utils.process_allgather(obj))  # pragma: no cover
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.array(len(payload), np.int64))).reshape(-1)
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[: len(payload)] = payload
+    allbuf = np.asarray(multihost_utils.process_allgather(buf))
+    return [pickle.loads(allbuf[i, : int(lens[i])].tobytes())
+            for i in range(len(lens))]
