@@ -1,12 +1,30 @@
-"""Benchmark: ViT-L Lens encode throughput, samples/sec/chip on real TPU.
+"""Benchmark: flagship throughput numbers on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric is the ViT-L audio-Lens encode (samples/s/chip);
+`extra.sub_metrics` carries every other flagship figure so a regression in
+any of them is visible from this file alone (VERDICT r2 item 2):
+
+  - pc_encode_b64:      ViT-L pc-Lens encode (FPS+kNN+tokenizer in-graph)
+  - bigG_pc_encode_b16: ViT-bigG-14 pc-Lens encode, 2.5 B params single-chip
+  - train_audio_b128:   tri train step, frozen CLIP towers, full remat
+  - train_pc_b64:       same, pc (FPS+kNN in the differentiated graph)
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); its
 implied comparator is the SAME model on A100. vs_baseline is therefore
 measured_samples_per_s / (A100 bf16 peak * 50% MFU / measured FLOPs-per-
 sample from XLA cost analysis) — i.e. ratio to a well-tuned A100 running
-this exact audio-Lens encode. MFU on the v5e is reported in extra.
+this exact audio-Lens encode. MFU on the v5e is reported per metric.
+
+Methodology (CLAUDE.md): on this backend block_until_ready() can return
+before execution completes and per-dispatch tunnel RTT is O(100 ms), so
+every number comes from ITERS chained iterations INSIDE one jit
+(lax.scan with a data dependence between iterations) fenced by a host
+fetch — true on-device throughput with amortised dispatch.
+
+A wall-clock deadline (BENCH_DEADLINE_S, default 2700 s) guards the driver:
+sub-metrics that would start too close to it are skipped, and each is
+try/except-isolated so one failure cannot take down the headline number.
 """
 
 from __future__ import annotations
@@ -26,8 +44,307 @@ import jax.numpy as jnp
 A100_BF16_PEAK = 312e12
 A100_ASSUMED_MFU = 0.5
 V5E_BF16_PEAK = 197e12
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
-ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+DEADLINE = time.time() + float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+
+
+def _remaining() -> float:
+    return DEADLINE - time.time()
+
+
+def _fence(x) -> None:
+    np.asarray(jax.tree.leaves(x)[0])  # host fetch; block_until_ready no-ops
+
+
+def _time_best(loop, args, n_samples: int, trials: int = 3) -> float:
+    """Best samples/s over `trials` runs of an already-compiled loop."""
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.time()
+        _fence(loop(*args))
+        best = max(best, n_samples / (time.time() - t0))
+    return best
+
+
+def _cost_flops(f, *a) -> float:
+    c = jax.jit(f).lower(*a).compile().cost_analysis()
+    if isinstance(c, list):
+        c = c[0] if c else {}
+    return float(c.get("flops", 0.0))
+
+
+def _encode_flops_per_sample(enc_fn, enc_args, block_params, block_fn,
+                             layers: int, batch: int):
+    """XLA cost analysis counts a lax.scan body ONCE; the scanned
+    `layers`-deep trunk is corrected by adding (layers-1) x one-block
+    flops: per_sample = (ca_full + (layers-1)*ca_block) / batch."""
+    ca_full = _cost_flops(enc_fn, *enc_args)
+    ca_block = _cost_flops(block_fn, block_params)
+    per_sample = (ca_full + (layers - 1) * ca_block) / batch
+    return per_sample, {
+        "xla_cost_analysis_full_graph_gflops": round(ca_full / 1e9, 2),
+        "xla_cost_analysis_one_resblock_gflops": round(ca_block / 1e9, 2),
+        "trunk_layers": layers,
+        "scan_correction": "per_sample=(full+(layers-1)*resblock)/batch",
+    }
+
+
+def _mfu(sps: float, flops_per_sample: float) -> float:
+    return round(sps * flops_per_sample / V5E_BF16_PEAK * 100, 1)
+
+
+def _chained_encode_loop(encode_one, iters: int):
+    """jit of `iters` encodes chained through the input (no dead-code
+    elision, dispatch amortised)."""
+
+    @jax.jit
+    def loop(params, state, x):
+        def body(carry, _):
+            f = encode_one(params, state, carry)
+            return carry + 1e-6 * jnp.mean(f), jnp.mean(f)
+
+        _, outs = jax.lax.scan(body, x, None, length=iters)
+        return outs
+
+    return loop
+
+
+# ---------------------------------------------------------------------------
+# headline: ViT-L audio-Lens encode
+# ---------------------------------------------------------------------------
+
+
+def bench_audio_encode(batch: int, iters: int):
+    from vitlens_tpu.config import make_model_config
+    from vitlens_tpu.models import layers as L
+    from vitlens_tpu.models import tri
+
+    cfg = make_model_config("ViT-L-14", "audio")
+    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
+
+    def encode_one(p, s, x):
+        f, _ = tri.encode_visual(p, s, x, cfg, normalize=True,
+                                 compute_dtype=jnp.bfloat16)
+        return f
+
+    fbank = jnp.asarray(
+        np.random.RandomState(0).randn(batch, 512, 128), jnp.float32)
+    loop = _chained_encode_loop(encode_one, iters)
+    t0 = time.time()
+    _fence(loop(params, state, fbank))
+    compile_s = time.time() - t0
+    sps = _time_best(loop, (params, state, fbank), batch * iters)
+
+    try:
+        lat = jnp.zeros((batch, cfg.tower.num_tokens + 1,
+                         cfg.tower.arch.width), jnp.bfloat16)
+        one_layer = jax.tree.map(lambda t: t[0],
+                                 params["visual"]["trunk"]["blocks"])
+        fps, deriv = _encode_flops_per_sample(
+            encode_one, (params, state, fbank), one_layer,
+            lambda p: L.resblock(lat, p, cfg.tower.arch.heads, L.gelu),
+            cfg.tower.arch.layers, batch)
+    except Exception:
+        fps, deriv = 0.0, {}
+    return sps, compile_s, fps, deriv
+
+
+# ---------------------------------------------------------------------------
+# sub-metrics
+# ---------------------------------------------------------------------------
+
+
+def bench_pc_encode(batch: int, iters: int):
+    """ViT-L pc-Lens encode incl. in-graph FPS + kNN grouping
+    (scripts/bench_pc.py companion; README pc figure)."""
+    from vitlens_tpu.config import make_model_config
+    from vitlens_tpu.models import layers as L
+    from vitlens_tpu.models import tri
+
+    cfg = make_model_config("ViT-L-14", "pc")
+    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
+    pc = jnp.asarray(np.random.RandomState(0).randn(
+        batch, cfg.tower.point.npoints, 3) * 0.3, jnp.float32)
+
+    def encode_one(p, s, x):
+        f, _ = tri.encode_visual(p, s, x, cfg, normalize=True,
+                                 compute_dtype=jnp.bfloat16)
+        return f
+
+    loop = _chained_encode_loop(encode_one, iters)
+    t0 = time.time()
+    _fence(loop(params, state, pc))
+    compile_s = time.time() - t0
+    sps = _time_best(loop, (params, state, pc), batch * iters)
+    lat = jnp.zeros((batch, cfg.tower.num_tokens + 1, cfg.tower.arch.width),
+                    jnp.bfloat16)
+    one_layer = jax.tree.map(lambda t: t[0],
+                             params["visual"]["trunk"]["blocks"])
+    fps, deriv = _encode_flops_per_sample(
+        encode_one, (params, state, pc), one_layer,
+        lambda p: L.resblock(lat, p, cfg.tower.arch.heads, L.gelu),
+        cfg.tower.arch.layers, batch)
+    return {"value": round(sps, 2), "unit": "samples/s/chip",
+            "batch": batch, "compile_s": round(compile_s, 1),
+            "gflops_per_sample": round(fps / 1e9, 1),
+            "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
+
+
+def bench_bigG_pc_encode(batch: int, iters: int):
+    """ViT-bigG-14 pc-Lens (vitlensG/OpenShape serving shape): the full
+    2.5 B-param trunk single-chip, bf16 params (~5 GB HBM)."""
+    from vitlens_tpu.models import layers as L
+    from vitlens_tpu.models.vit import vision_tower_apply, vision_tower_init
+    from vitlens_tpu.train.openshape import vitlensG_tower_config
+
+    cfg = vitlensG_tower_config()
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params, state = vision_tower_init(jax.random.PRNGKey(0), cfg)
+
+    def to_bf16(l):
+        a = np.asarray(l)
+        return a.astype(jnp.bfloat16) if a.dtype == np.float32 else a
+
+    params = jax.device_put(jax.tree.map(to_bf16, params))
+    state = jax.device_put(jax.tree.map(np.asarray, state))
+    pc = jnp.asarray(np.random.RandomState(0).randn(
+        batch, cfg.point.npoints, 6) * 0.3, jnp.float32)
+
+    def encode_one(p, s, x):
+        f, _ = vision_tower_apply(p, s, x, cfg, compute_dtype=jnp.bfloat16)
+        return f
+
+    loop = _chained_encode_loop(encode_one, iters)
+    t0 = time.time()
+    _fence(loop(params, state, pc))
+    compile_s = time.time() - t0
+    sps = _time_best(loop, (params, state, pc), batch * iters)
+    # bigG trunk skips the first 16 of 48 layers (OpenShape recipe); the
+    # stacked-blocks leading dim is the actual scanned depth
+    layers = int(jax.tree.leaves(params["trunk"]["blocks"])[0].shape[0])
+    lat = jnp.zeros((batch, cfg.num_tokens + 1, cfg.arch.width), jnp.bfloat16)
+    one_layer = jax.tree.map(lambda t: t[0], params["trunk"]["blocks"])
+    fps, deriv = _encode_flops_per_sample(
+        encode_one, (params, state, pc), one_layer,
+        lambda p: L.resblock(lat, p, cfg.arch.heads, L.gelu),
+        layers, batch)
+    out = {"value": round(sps, 2), "unit": "samples/s/chip",
+           "batch": batch, "compile_s": round(compile_s, 1),
+           "gflops_per_sample": round(fps / 1e9, 1),
+           "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
+    del params, state, loop
+    return out
+
+
+def bench_train_step(modality: str, batch: int, iters: int = 6):
+    """Tri train step, frozen CLIP towers + trainable Lens/adapter, full
+    remat, steps chained in one jit (scripts/bench_train_step.py).
+
+    MFU derivation: per-sample flops composed from the cost-analysed tower
+    forwards (scan-corrected): frozen image + text anchors are forward-only
+    (their backward is dead — no param grads, no input grads), the visual
+    tower costs fwd + full-remat recompute + 2x-fwd backward = 4x fwd.
+    """
+    from vitlens_tpu.config import make_model_config
+    from vitlens_tpu.models import layers as L
+    from vitlens_tpu.models import tri
+    from vitlens_tpu.train.freeze import tri_model_mask
+    from vitlens_tpu.train.step import (
+        OptimizerConfig, StepConfig, init_train_state, make_optimizer,
+        make_train_step,
+    )
+
+    cfg = make_model_config("ViT-L-14", modality)
+    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
+    mask = tri_model_mask(params, cfg, lock_image=True, lock_text=True,
+                          lock_visual=True)
+    tx, mask = make_optimizer(
+        params, OptimizerConfig(lr=1e-4, warmup=10, total_steps=1000,
+                                grad_clip_norm=1.0), mask)
+    sc = StepConfig(n_tower=3, local_loss=False, compute_dtype=jnp.bfloat16,
+                    remat=True, sync_bn=False)
+    step = make_train_step(cfg, tx, mask, sc, mesh=None)
+    ts = init_train_state(params, state, tx)
+    rng = np.random.RandomState(0)
+    text = rng.randint(1, 49000, size=(batch, 77)).astype(np.int32)
+    text[:, 0] = 49406
+    text[:, -1] = 49407
+    vis = (rng.randn(batch, cfg.tower.point.npoints, 3) * 0.3
+           if modality == "pc" else rng.randn(batch, 512, 128))
+    batch_d = {"image": jnp.asarray(rng.randn(batch, 3, 224, 224),
+                                    jnp.float32),
+               "text": jnp.asarray(text),
+               "visual": jnp.asarray(vis, jnp.float32)}
+
+    @jax.jit
+    def loop(ts, b, key):
+        def body(carry, i):
+            nts, m = step(carry, b, jax.random.fold_in(key, i))
+            return nts, m["loss"]
+
+        ts, losses = jax.lax.scan(body, ts, jnp.arange(iters))
+        return losses
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    _fence(loop(ts, batch_d, key))
+    compile_s = time.time() - t0
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        _fence(loop(ts, batch_d, key))
+        best = max(best, batch * iters / (time.time() - t0))
+
+    # composed flops: img_fwd + txt_fwd + 4x vis_fwd (see docstring)
+    try:
+        lat = jnp.zeros((batch, cfg.tower.num_tokens + 1,
+                         cfg.tower.arch.width), jnp.bfloat16)
+        one_vis = jax.tree.map(lambda t: t[0],
+                               params["visual"]["trunk"]["blocks"])
+        vis_fwd, _ = _encode_flops_per_sample(
+            lambda p, s, x: tri.encode_visual(
+                p, s, x, cfg, normalize=True,
+                compute_dtype=jnp.bfloat16)[0],
+            (params, state, batch_d["visual"]), one_vis,
+            lambda p: L.resblock(lat, p, cfg.tower.arch.heads, L.gelu),
+            cfg.tower.arch.layers, batch)
+        img_lat = jnp.zeros((batch, cfg.vision.num_patches + 1,
+                             cfg.vision.width), jnp.bfloat16)
+        one_img = jax.tree.map(lambda t: t[0],
+                               params["image"]["trunk"]["blocks"])
+        img_fwd, _ = _encode_flops_per_sample(
+            lambda p, s, x: tri.encode_image(p, s, x, cfg, normalize=True,
+                                             compute_dtype=jnp.bfloat16),
+            (params, state, batch_d["image"]), one_img,
+            lambda p: L.resblock(img_lat, p, cfg.vision.heads, L.gelu),
+            cfg.vision.layers, batch)
+        txt_fwd = _cost_flops(
+            lambda p, t: tri.encode_text(p, t, cfg, normalize=True,
+                                         compute_dtype=jnp.bfloat16),
+            params, batch_d["text"]) / batch
+        # text trunk is scan-stacked too (causal-mask add is flops-noise,
+        # so the probe block runs unmasked)
+        txt_lat = jnp.zeros((batch, cfg.text.context_length,
+                             cfg.text.width), jnp.bfloat16)
+        one_txt = jax.tree.map(lambda t: t[0],
+                               params["text"]["trunk"]["blocks"])
+        txt_blk = _cost_flops(
+            lambda p: L.resblock(txt_lat, p, cfg.text.heads, L.gelu),
+            one_txt)
+        txt_fwd += (cfg.text.layers - 1) * txt_blk / batch
+        train_fps = img_fwd + txt_fwd + 4.0 * vis_fwd
+        deriv = {"img_fwd_gflops": round(img_fwd / 1e9, 1),
+                 "txt_fwd_gflops": round(txt_fwd / 1e9, 1),
+                 "vis_fwd_gflops": round(vis_fwd / 1e9, 1),
+                 "composition": "img_fwd + txt_fwd + 4*vis_fwd "
+                                "(full remat: fwd+recompute+2x-fwd bwd)"}
+        mfu = _mfu(best, train_fps)
+    except Exception as e:  # noqa: BLE001 - derivation must not kill the number
+        train_fps, deriv, mfu = 0.0, {"error": repr(e)[:200]}, -1.0
+    return {"value": round(best, 2), "unit": "samples/s/chip",
+            "batch": batch, "compile_s": round(compile_s, 1),
+            "gflops_per_sample": round(train_fps / 1e9, 1),
+            "v5e_mfu_pct": mfu, "flops_derivation": deriv}
 
 
 def main() -> int:
@@ -43,92 +360,31 @@ def main() -> int:
     x = jnp.ones((128, 128))
     np.asarray(x @ x)  # block_until_ready is a no-op on axon; host-fetch fences
 
-    from vitlens_tpu.config import make_model_config
-    from vitlens_tpu.models import tri
-
-    cfg = make_model_config("ViT-L-14", "audio")
-    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
-
-    @jax.jit
-    def encode(params, state, fbank):
-        feats, _ = tri.encode_visual(
-            params, state, fbank, cfg,
-            normalize=True, compute_dtype=jnp.bfloat16,
-        )
-        return feats
-
-    fbank = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, 512, 128), jnp.float32
-    )
-
-    # NOTE on methodology: on this backend block_until_ready() can return
-    # before execution completes, and per-dispatch latency through the device
-    # tunnel is ~15-20 ms. The benchmark therefore runs ITERS chained encodes
-    # INSIDE one jit (lax.scan) and fences with a host fetch — measuring true
-    # on-device throughput with amortised dispatch.
-    @jax.jit
-    def encode_loop(params, state, fbank):
-        def body(carry, _):
-            f, _s = tri.encode_visual(
-                params, state, carry, cfg,
-                normalize=True, compute_dtype=jnp.bfloat16,
-            )
-            nxt = carry + 1e-6 * jnp.mean(f)  # chain: no dead-code elision
-            return nxt, jnp.mean(f)
-
-        _, outs = jax.lax.scan(body, fbank, None, length=ITERS)
-        return outs
-
-    t0 = time.time()
-    np.asarray(encode_loop(params, state, fbank))
-    compile_s = time.time() - t0
-
-    best = 0.0
-    for _trial in range(3):
-        t0 = time.time()
-        np.asarray(encode_loop(params, state, fbank))
-        dt = time.time() - t0
-        best = max(best, BATCH * ITERS / dt)
-    sps = best
-
-    # FLOPs per sample from XLA cost analysis. NOTE: HloCostAnalysis counts
-    # a lax.scan body ONCE, so the 24-layer scanned trunk must be corrected
-    # by adding (layers-1) x single-resblock flops.
-    try:
-        def _ca(f, *a):
-            c = jax.jit(f).lower(*a).compile().cost_analysis()
-            if isinstance(c, list):
-                c = c[0] if c else {}
-            return float(c.get("flops", 0.0))
-
-        from vitlens_tpu.models import layers as L
-
-        ca_full = _ca(encode, params, state, fbank)
-        lat = jnp.zeros((BATCH, cfg.tower.num_tokens + 1, cfg.tower.arch.width),
-                        jnp.bfloat16)
-        one_layer = jax.tree.map(lambda t: t[0],
-                                 params["visual"]["trunk"]["blocks"])
-        ca_layer = _ca(
-            lambda h: L.resblock(h, one_layer, cfg.tower.arch.heads, L.gelu),
-            lat)
-        flops_per_sample = (
-            ca_full + (cfg.tower.arch.layers - 1) * ca_layer) / BATCH
-        flops_derivation = {
-            # XLA HloCostAnalysis counts a lax.scan body ONCE; the scanned
-            # 24-layer trunk is corrected by adding (layers-1) x one-resblock
-            # flops: per_sample = (ca_full + (L-1)*ca_layer) / batch
-            "xla_cost_analysis_full_graph_gflops": round(ca_full / 1e9, 2),
-            "xla_cost_analysis_one_resblock_gflops": round(ca_layer / 1e9, 2),
-            "trunk_layers": cfg.tower.arch.layers,
-            "scan_correction": "per_sample=(full+(layers-1)*resblock)/batch",
-        }
-    except Exception:
-        flops_per_sample = 0.0
-        flops_derivation = {}
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    sps, compile_s, flops_per_sample, flops_derivation = bench_audio_encode(
+        batch, iters)
     a100_equiv = (A100_BF16_PEAK * A100_ASSUMED_MFU / flops_per_sample
                   if flops_per_sample > 0 else 1000.0)
-    mfu = (sps * flops_per_sample / V5E_BF16_PEAK * 100
-           if flops_per_sample > 0 else -1.0)
+
+    sub = {}
+    jobs = []
+    if os.environ.get("BENCH_SUBMETRICS", "1") != "0":
+        jobs = [
+            ("pc_encode_b64", lambda: bench_pc_encode(64, 10), 300),
+            ("train_audio_b128", lambda: bench_train_step("audio", 128), 600),
+            ("train_pc_b64", lambda: bench_train_step("pc", 64), 600),
+            ("bigG_pc_encode_b16", lambda: bench_bigG_pc_encode(16, 5), 700),
+        ]
+    for name, fn, need_s in jobs:
+        if _remaining() < need_s:
+            sub[name] = {"skipped": f"deadline ({int(_remaining())}s left, "
+                                    f"~{need_s}s needed)"}
+            continue
+        try:
+            sub[name] = fn()
+        except Exception as e:  # noqa: BLE001 - isolate sub-metric failures
+            sub[name] = {"error": repr(e)[:300]}
 
     print(
         json.dumps(
@@ -138,19 +394,22 @@ def main() -> int:
                 "unit": "samples/s/chip",
                 "vs_baseline": round(sps / a100_equiv, 3),
                 "extra": {
-                    "batch": BATCH,
-                    "iters": ITERS,
+                    "batch": batch,
+                    "iters": iters,
                     "compile_s": round(compile_s, 1),
                     "device": str(jax.devices()[0]),
                     "compute_dtype": "bfloat16",
                     "gflops_per_sample": round(flops_per_sample / 1e9, 1),
-                    "v5e_mfu_pct": round(mfu, 1),
+                    "v5e_mfu_pct": (
+                        _mfu(sps, flops_per_sample)
+                        if flops_per_sample > 0 else -1.0),
                     "a100_same_model_50mfu_samples_s": round(a100_equiv, 1),
                     "a100_comparator": (
                         "A100 bf16 peak 312e12 * assumed 0.5 MFU / "
                         "flops_per_sample; see flops_derivation"),
                     "flops_derivation": flops_derivation,
                     "shape_ceiling_evidence": "scripts/microbench.py",
+                    "sub_metrics": sub,
                 },
             }
         )

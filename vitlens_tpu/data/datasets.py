@@ -617,7 +617,10 @@ class ObjaverseDataset:
 
             self._lmdb = lmdb
         except ImportError:
-            self._lmdb = None
+            # pure-Python read-only LMDB implementation (same API subset)
+            from vitlens_tpu.data import lmdb_reader
+
+            self._lmdb = lmdb_reader
         self._envs = [None] * len(self.buckets)
         self.counts = [self._bucket_len(i) for i in range(len(self.buckets))]
         self.cumulative = np.cumsum(self.counts)
