@@ -93,6 +93,19 @@ def test_mojibake_repair():
                                   ours(["a café photo"]))
 
 
+def test_clean_control_chars_and_nfc():
+    """ftfy.fix_text defaults also strip control chars and NFC-normalize;
+    _basic_clean reproduces both (reference tokenizer.py:67-70)."""
+    from vitlens_tpu.text.tokenizer import _basic_clean
+
+    assert _basic_clean("a\x00b\x07c") == "abc"
+    assert _basic_clean("keep\ttabs and\nnewlines") == "keep\ttabs and\nnewlines"
+    # NFC: decomposed e + combining acute -> precomposed é
+    assert _basic_clean("café") == "café"
+    ours = get_tokenizer()
+    np.testing.assert_array_equal(ours(["café"]), ours(["café"]))
+
+
 def test_hf_tokenizer_wrapper(tmp_path):
     """HFTokenizer (reference open_clip tokenizer.py HFTokenizer): pads and
     truncates to context_length, int32 ids — verified against a local

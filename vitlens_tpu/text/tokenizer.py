@@ -99,11 +99,21 @@ def _fix_mojibake(text: str) -> str:
     return text
 
 
+_CONTROL_CHARS = frozenset(
+    c for c in map(chr, list(range(32)) + [0x7F]) if c not in "\t\n\r")
+
+
 def _basic_clean(text: str) -> str:
-    # ftfy.fix_text in the reference (tokenizer.py:67-70); the mojibake
-    # repair above + double html-unescape covers its common fixes (ftfy
-    # itself is not in this image).
-    return html.unescape(html.unescape(_fix_mojibake(text))).strip()
+    # ftfy.fix_text in the reference (tokenizer.py:67-70); ftfy itself is
+    # not in this image, so its default pipeline is reproduced: mojibake
+    # repair (above) + double html-unescape + control-char removal
+    # (remove_control_chars=True) + NFC normalization (normalization='NFC').
+    import unicodedata
+
+    text = html.unescape(html.unescape(_fix_mojibake(text)))
+    if any(c in _CONTROL_CHARS for c in text):
+        text = "".join(c for c in text if c not in _CONTROL_CHARS)
+    return unicodedata.normalize("NFC", text).strip()
 
 
 class SimpleTokenizer:
