@@ -242,8 +242,11 @@ def bench_train_step(modality: str, batch: int, iters: int = 6):
 
     MFU derivation: per-sample flops composed from the cost-analysed tower
     forwards (scan-corrected): frozen image + text anchors are forward-only
-    (their backward is dead — no param grads, no input grads), the visual
-    tower costs fwd + full-remat recompute + 2x-fwd backward = 4x fwd.
+    (stop_gradient'd, their backward is pruned); the visual tower costs
+    fwd + full-remat recompute + dx-only backward = 3x fwd — the trunk is
+    frozen (train/step.py differentiates only trainable leaves, so trunk dW
+    matmuls are pruned; adapter/perceiver/Lens dW is flops-noise), leaving
+    one 1x-fwd-cost dx chain to reach the trainable Lens.
     """
     from vitlens_tpu.config import make_model_config
     from vitlens_tpu.models import layers as L
@@ -332,12 +335,13 @@ def bench_train_step(modality: str, batch: int, iters: int = 6):
             lambda p: L.resblock(txt_lat, p, cfg.text.heads, L.gelu),
             one_txt)
         txt_fwd += (cfg.text.layers - 1) * txt_blk / batch
-        train_fps = img_fwd + txt_fwd + 4.0 * vis_fwd
+        train_fps = img_fwd + txt_fwd + 3.0 * vis_fwd
         deriv = {"img_fwd_gflops": round(img_fwd / 1e9, 1),
                  "txt_fwd_gflops": round(txt_fwd / 1e9, 1),
                  "vis_fwd_gflops": round(vis_fwd / 1e9, 1),
-                 "composition": "img_fwd + txt_fwd + 4*vis_fwd "
-                                "(full remat: fwd+recompute+2x-fwd bwd)"}
+                 "composition": "img_fwd + txt_fwd + 3*vis_fwd (fwd + "
+                                "full-remat recompute + dx-only bwd; "
+                                "frozen trunk dW pruned)"}
         mfu = _mfu(best, train_fps)
     except Exception as e:  # noqa: BLE001 - derivation must not kill the number
         train_fps, deriv, mfu = 0.0, {"error": repr(e)[:200]}, -1.0
