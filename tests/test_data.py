@@ -63,6 +63,29 @@ def test_synthetic_dataset_and_prefetcher():
     assert isinstance(batches[0]["visual"], jnp.ndarray)
 
 
+def test_prefetcher_map_fn_order_and_errors():
+    """r3 threaded prefetcher: map_fn runs on the staging thread, order is
+    preserved, dataset exceptions propagate (not swallowed by the pool)."""
+    ds = SyntheticDataset({"x": ((2,), "f")}, n=12)
+    info = build_loader(ds, batch_size=2, shuffle=False)
+    seen = []
+    pf = DevicePrefetcher(
+        info.dataloader,
+        map_fn=lambda b: (seen.append(len(seen)),
+                          {"x": b["x"] * 0 + len(seen)})[1])
+    vals = [float(np.asarray(b["x"]).ravel()[0]) for b in pf]
+    assert vals == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]  # in order
+
+    def boom(_):
+        raise RuntimeError("bad batch")
+
+    pf = DevicePrefetcher(info.dataloader, map_fn=boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="bad batch"):
+        list(pf)
+
+
 def test_brace_expand():
     assert brace_expand("shard-{000..002}.tar") == [
         "shard-000.tar", "shard-001.tar", "shard-002.tar"]
