@@ -51,6 +51,11 @@ def _remaining() -> float:
     return DEADLINE - time.time()
 
 
+def _progress(msg: str) -> None:
+    # stdout must stay ONE json line; progress goes to stderr
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def _fence(x) -> None:
     np.asarray(jax.tree.leaves(x)[0])  # host fetch; block_until_ready no-ops
 
@@ -364,10 +369,12 @@ def main() -> int:
     x = jnp.ones((128, 128))
     np.asarray(x @ x)  # block_until_ready is a no-op on axon; host-fetch fences
 
+    _progress("tpu up")
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     sps, compile_s, flops_per_sample, flops_derivation = bench_audio_encode(
         batch, iters)
+    _progress(f"audio encode done: {sps:.1f}/s")
     a100_equiv = (A100_BF16_PEAK * A100_ASSUMED_MFU / flops_per_sample
                   if flops_per_sample > 0 else 1000.0)
 
@@ -384,11 +391,15 @@ def main() -> int:
         if _remaining() < need_s:
             sub[name] = {"skipped": f"deadline ({int(_remaining())}s left, "
                                     f"~{need_s}s needed)"}
+            _progress(f"{name}: skipped (deadline)")
             continue
+        _progress(f"{name}: start ({int(_remaining())}s to deadline)")
         try:
             sub[name] = fn()
+            _progress(f"{name}: {sub[name].get('value')}/s")
         except Exception as e:  # noqa: BLE001 - isolate sub-metric failures
             sub[name] = {"error": repr(e)[:300]}
+            _progress(f"{name}: ERROR {repr(e)[:120]}")
 
     print(
         json.dumps(
