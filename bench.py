@@ -224,9 +224,11 @@ def bench_bigG_pc_encode(batch: int, iters: int):
     _fence(loop(params, state, pc))
     compile_s = time.time() - t0
     sps = _time_best(loop, (params, state, pc), batch * iters)
-    # bigG trunk skips the first 16 of 48 layers (OpenShape recipe); the
-    # stacked-blocks leading dim is the actual scanned depth
-    layers = int(jax.tree.leaves(params["trunk"]["blocks"])[0].shape[0])
+    # bigG trunk skips the first 16 of 48 layers at APPLY time (OpenShape
+    # recipe; transformer() slices the stacked blocks) — the effective
+    # scanned depth is what the scan correction must use
+    layers = (int(jax.tree.leaves(params["trunk"]["blocks"])[0].shape[0])
+              - (cfg.skip_first_n_layers or 0))
     lat = jnp.zeros((batch, cfg.num_tokens + 1, cfg.arch.width), jnp.bfloat16)
     one_layer = jax.tree.map(lambda t: t[0], params["trunk"]["blocks"])
     fps, deriv = _encode_flops_per_sample(
