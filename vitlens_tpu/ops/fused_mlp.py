@@ -78,12 +78,22 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 _INTERPRET = False  # tests flip this to run the kernel on CPU
 
+# Row-tile size. Isolated-op sweep at the ViT-L shapes (r3,
+# scripts/bench_fused_mlp_rows.py): tm=256 beats 512 at both 16448 and
+# 32896 rows; env override for A/B.
+def _default_tm() -> int:
+    import os
+
+    return int(os.environ.get("VITLENS_FUSED_MLP_TM", "512"))
+
 
 def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
-                      tm: int = 512, save_preact: bool = False):
+                      tm: int | None = None, save_preact: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if tm is None:
+        tm = _default_tm()
     m, d = x.shape
     hidden = w1.shape[1]
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),  # noqa: E731
