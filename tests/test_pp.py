@@ -1,0 +1,85 @@
+"""Pipeline parallelism: the GPipe-scheduled trunk on a [data, pipe] mesh
+matches the single-device `transformer` exactly, forward and backward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitlens_tpu.models.layers import gelu, transformer, transformer_init
+from vitlens_tpu.parallel.pp import (
+    make_pipe_mesh, pipeline_transformer, shard_trunk_pipeline,
+)
+
+DIM, HEADS, LAYERS = 32, 2, 4
+
+
+def _trunk(key=0):
+    return transformer_init(jax.random.PRNGKey(key), DIM, LAYERS)
+
+
+def _x(b=8, n=6):
+    return jnp.asarray(np.random.RandomState(0).randn(b, n, DIM), jnp.float32)
+
+
+def test_pp_forward_matches_single_device():
+    p = _trunk()
+    x = _x()
+    want = transformer(x, p, HEADS, gelu)
+
+    mesh = make_pipe_mesh(n_stages=4, n_data=2,
+                          devices=jax.local_devices(backend="cpu"))
+    p_sharded = shard_trunk_pipeline(p, mesh)
+
+    @jax.jit
+    def fwd(p, x):
+        return pipeline_transformer(x, p, HEADS, gelu, mesh=mesh,
+                                    n_microbatches=4)
+
+    got = fwd(p_sharded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_pp_pipe_only_mesh_and_uneven_microbatches():
+    p = _trunk(1)
+    x = _x(b=6)
+    want = transformer(x, p, HEADS, gelu)
+    mesh = make_pipe_mesh(n_stages=2,
+                          devices=jax.local_devices(backend="cpu")[:2])
+    p_sharded = shard_trunk_pipeline(p, mesh)
+    got = jax.jit(lambda p, x: pipeline_transformer(
+        x, p, HEADS, gelu, mesh=mesh, n_microbatches=3))(p_sharded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_pp_backward_matches_single_device():
+    p = _trunk(2)
+    x = _x(b=4, n=5)
+    mesh = make_pipe_mesh(n_stages=4,
+                          devices=jax.local_devices(backend="cpu")[:4])
+    p_sharded = shard_trunk_pipeline(p, mesh)
+
+    def loss_single(p, x):
+        return jnp.sum(transformer(x, p, HEADS, gelu) ** 2)
+
+    def loss_pp(p, x):
+        return jnp.sum(pipeline_transformer(
+            x, p, HEADS, gelu, mesh=mesh, n_microbatches=4, remat=True) ** 2)
+
+    want = jax.grad(loss_single)(p, x)
+    got = jax.jit(jax.grad(loss_pp))(p_sharded, x)
+    jax.tree.map(
+        lambda g, w: np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-3, atol=1e-4),
+        got, want)
+
+
+def test_pp_depth_not_divisible_raises():
+    p = _trunk(3)
+    mesh = make_pipe_mesh(n_stages=3,
+                          devices=jax.local_devices(backend="cpu")[:3])
+    with pytest.raises(AssertionError):
+        shard_trunk_pipeline(p, mesh)

@@ -229,6 +229,20 @@ def transformer_init(key, dim: int, layers: int, mlp_ratio: float = 4.0,
     return {"blocks": stacked}
 
 
+# Optional per-block activation hook, set at trace time by
+# parallel/sp.py::sequence_sharded_activations: a with_sharding_constraint
+# that keeps the [B, N, D] carry sequence-sharded over the `model` mesh axis
+# between blocks (Megatron-style sequence parallelism). None = identity.
+_ACTIVATION_CONSTRAINT: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+
+
+def set_activation_constraint(
+    fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]],
+) -> None:
+    global _ACTIVATION_CONSTRAINT
+    _ACTIVATION_CONSTRAINT = fn
+
+
 def transformer(
     x: jnp.ndarray,
     p: Params,
@@ -248,6 +262,8 @@ def transformer(
         blocks = jax.tree.map(lambda t: t[skip_first_n:], blocks)
 
     def body(carry, layer_p):
+        if _ACTIVATION_CONSTRAINT is not None:
+            carry = _ACTIVATION_CONSTRAINT(carry)
         y = resblock(carry, layer_p, heads, act, mask, ln_eps)
         return y, None
 
