@@ -77,6 +77,40 @@ def test_pp_backward_matches_single_device():
         got, want)
 
 
+def test_pp_full_tower_via_pipelined_trunks():
+    """A whole vision-tower forward (adapter + trunk + perceiver + proj)
+    pipelines its 2-layer trunk under the trace-time hook; the 1-block
+    perceiver doesn't divide the stage count and silently keeps the scan."""
+    from vitlens_tpu.config import (
+        EEGAdapterConfig, PerceiverConfig, TowerConfig, VisionArch,
+    )
+    from vitlens_tpu.models.vit import vision_tower_apply, vision_tower_init
+    from vitlens_tpu.parallel.pp import pipeline_place, pipelined_trunks
+
+    arch = VisionArch(image_size=28, patch_size=14, width=64, layers=2,
+                      head_width=16)
+    tower = TowerConfig(
+        arch=arch, embed_dim=32, modality="eeg",
+        eeg=EEGAdapterConfig(chans=8, time_len=16, window_size=1, stride=1),
+        perceiver=PerceiverConfig(depth=1, num_latents=4, latent_dim=64,
+                                  input_dim=64, cross_heads=1,
+                                  cross_dim_head=16, latent_heads=2,
+                                  latent_dim_head=32),
+    )
+    params, state = vision_tower_init(jax.random.PRNGKey(5), tower)
+    x = jnp.asarray(np.random.RandomState(5).randn(4, 8, 16), jnp.float32)
+    want, _ = vision_tower_apply(params, state, x, tower)
+
+    mesh = make_pipe_mesh(n_stages=2, n_data=2,
+                          devices=jax.local_devices(backend="cpu")[:4])
+    placed = pipeline_place(params, mesh)
+    with pipelined_trunks(mesh, n_microbatches=2):
+        got, _ = jax.jit(
+            lambda p, x: vision_tower_apply(p, state, x, tower))(placed, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_pp_depth_not_divisible_raises():
     p = _trunk(3)
     mesh = make_pipe_mesh(n_stages=3,

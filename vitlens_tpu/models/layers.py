@@ -243,6 +243,19 @@ def set_activation_constraint(
     _ACTIVATION_CONSTRAINT = fn
 
 
+# Optional trace-time trunk pipelining, set by
+# parallel/pp.py::pipelined_trunks: a (mesh, n_microbatches) pair. Any
+# transformer() whose depth divides the pipe axis and whose batch divides
+# the microbatch count is dispatched to the GPipe schedule; others fall
+# back to the plain scan (e.g. a 2-layer text trunk under 4 stages).
+_TRUNK_PIPELINE = None
+
+
+def set_trunk_pipeline(cfg) -> None:
+    global _TRUNK_PIPELINE
+    _TRUNK_PIPELINE = cfg
+
+
 def transformer(
     x: jnp.ndarray,
     p: Params,
@@ -260,6 +273,20 @@ def transformer(
     blocks = p["blocks"]
     if skip_first_n:
         blocks = jax.tree.map(lambda t: t[skip_first_n:], blocks)
+
+    if _TRUNK_PIPELINE is not None:
+        mesh, n_mb = _TRUNK_PIPELINE
+        from vitlens_tpu.parallel.mesh import DATA_AXIS
+        from vitlens_tpu.parallel.pp import PIPE_AXIS, pipeline_transformer
+
+        n_stages = mesh.shape[PIPE_AXIS]
+        n_data = mesh.shape.get(DATA_AXIS, 1)
+        depth = jax.tree.leaves(blocks)[0].shape[0]
+        if (depth % n_stages == 0 and x.shape[0] % n_mb == 0
+                and (x.shape[0] // n_mb) % n_data == 0):
+            return pipeline_transformer(
+                x, {"blocks": blocks}, heads, act, mask, mesh=mesh,
+                n_microbatches=n_mb, remat=bool(remat), ln_eps=ln_eps)
 
     def body(carry, layer_p):
         if _ACTIVATION_CONSTRAINT is not None:

@@ -29,6 +29,7 @@ not wired here because no released config needs 3D.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -154,3 +155,42 @@ def pipeline_transformer(
         check_vma=False,
     )(x_mb, p["blocks"])
     return out.reshape(B, *x.shape[1:])
+
+
+@contextmanager
+def pipelined_trunks(mesh: Mesh, n_microbatches: int):
+    """Trace-time context: every `models/layers.py::transformer` traced
+    inside runs the GPipe schedule over `mesh`'s pipe axis — so a FULL
+    tower forward (adapter + trunk + perceiver + proj) pipelines its trunk
+    with no model-code changes. Trunks whose depth doesn't divide the
+    stage count (e.g. the 1-block perceiver) silently keep the plain scan.
+    Shard the tower's trunk blocks with `shard_trunk_pipeline` (or a
+    whole-tower `pipeline_place`) first so the stages own their layers.
+
+        with pipelined_trunks(pipe_mesh, n_microbatches=8):
+            feats = jax.jit(encode)(params, x)
+    """
+    from vitlens_tpu.models.layers import set_trunk_pipeline
+
+    set_trunk_pipeline((mesh, n_microbatches))
+    try:
+        yield
+    finally:
+        set_trunk_pipeline(None)
+
+
+def pipeline_place(tower_params: Params, mesh: Mesh) -> Params:
+    """device_put a whole vision-tower param tree for PP: trunk blocks
+    layer-sharded over `pipe` (when divisible), everything else
+    replicated."""
+    repl = NamedSharding(mesh, P())
+    placed = jax.tree.map(lambda t: jax.device_put(t, repl), tower_params)
+    trunk = placed.get("trunk") if isinstance(placed, dict) else None
+    if trunk and "blocks" in trunk:
+        layers = jax.tree.leaves(trunk["blocks"])[0].shape[0]
+        if layers % mesh.shape[PIPE_AXIS] == 0:
+            placed = dict(placed)
+            placed["trunk"] = dict(trunk)
+            placed["trunk"]["blocks"] = shard_trunk_pipeline(
+                {"blocks": trunk["blocks"]}, mesh)["blocks"]
+    return placed
