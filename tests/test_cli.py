@@ -53,6 +53,27 @@ def test_train_cli_synthetic_fsdp(tmp_path):
     assert (tmp_path / "f" / "checkpoints" / "epoch_latest").exists()
 
 
+def test_train_cli_synthetic_tp(tmp_path, monkeypatch):
+    """--tp 2: [data=2, model=2] mesh, Megatron shardings via
+    fsdp_tp_place, GSPMD step path (same driver)."""
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a, **k: jax.local_devices(backend="cpu")[:4])
+    from vitlens_tpu.cli.train import main
+
+    rc = main([
+        "--modality", "eeg", "--model", "ViT-Tiny-Test",
+        "--dataset-type", "synthetic", "--train-data", "synthetic",
+        "--train-num-samples", "8", "--batch-size", "2", "--epochs", "1",
+        "--warmup", "2", "--precision", "fp32", "--n-tower", "3",
+        "--tp", "2",
+        "--log-every-n-steps", "1", "--logs", str(tmp_path), "--name", "tp",
+    ])
+    assert rc == 0
+    rec = json.loads(
+        (tmp_path / "tp" / "results.jsonl").read_text().splitlines()[-1])
+    assert np.isfinite(rec["train/loss"])
+
+
 def test_train_cli_eval_only_esc50_fixture(tmp_path, monkeypatch):
     from vitlens_tpu.cli.train import main
 

@@ -110,6 +110,10 @@ class TrainArgs:
     # (parallel/fsdp.py; GSPMD inserts the collectives). DDP when off —
     # the reference's only mode.
     fsdp: bool = False
+    # Megatron tensor parallelism over a model mesh axis of this size
+    # (parallel/tp.py); devices split [data=N/tp, model=tp]. Implies the
+    # GSPMD (fsdp-style) step path; params placed by fsdp_tp_place.
+    tp: int = 1
 
     # per-modality model hyperparameters (reference params.py:645-935
     # audio/pc/eeg/perceiver sections); None = keep the vitlensL preset.

@@ -436,8 +436,18 @@ def main(argv=None) -> int:
         logging.info(f"loaded pretrained {args.pretrained}")
 
     devices = jax.devices()[: args.n_devices] if args.n_devices else jax.devices()
-    mesh = make_mesh(devices=devices) if len(devices) > 1 else None
-    n_shards = len(devices) if mesh is not None else 1
+    if args.tp > 1:
+        if len(devices) % args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} does not divide {len(devices)} devices")
+        mesh = make_mesh(n_data=len(devices) // args.tp, n_model=args.tp,
+                         devices=devices)
+    else:
+        mesh = make_mesh(devices=devices) if len(devices) > 1 else None
+    # data-parallel replicas (per-replica batch semantics, like the
+    # reference's per-rank batch); under TP this is n_devices / tp
+    n_shards = int(mesh.shape["data"]) if mesh is not None else 1
+    n_chips = len(devices) if mesh is not None else 1
 
     mask = tri_model_mask(
         params, cfg,
@@ -507,7 +517,8 @@ def main(argv=None) -> int:
                and args.remat_policy != "full" else args.grad_checkpointing),
         sync_bn=args.use_bn_sync and mesh is not None,
     )
-    partition = "fsdp" if (args.fsdp and mesh is not None) else "ddp"
+    partition = ("fsdp" if ((args.fsdp or args.tp > 1) and mesh is not None)
+                 else "ddp")
     step = make_train_step(cfg, tx, mask, sc, mesh=mesh, donate=True,
                            partition=partition)
     ts = init_train_state(params, model_state, tx)
@@ -524,13 +535,14 @@ def main(argv=None) -> int:
 
     if mesh is not None:
         if partition == "fsdp":
-            from vitlens_tpu.parallel.fsdp import fsdp_place
+            from vitlens_tpu.parallel.fsdp import fsdp_place, fsdp_tp_place
 
-            ts = fsdp_place(ts, mesh)
+            ts = (fsdp_tp_place(ts, mesh) if args.tp > 1
+                  else fsdp_place(ts, mesh))
         else:
             ts = replicate(mesh, ts)
     writer = MetricsWriter(log_dir, use_tensorboard="tensorboard" in args.report_to)
-    meter = ThroughputMeter(n_chips=n_shards)
+    meter = ThroughputMeter(n_chips=n_chips)
     saver = C.AsyncSaver()
     sync_stop = None
     if args.remote_sync:
