@@ -322,8 +322,15 @@ def point_tokenizer_apply(
     h = jax.nn.relu(h)
     h = h @ enc["conv2"]["w"].astype(pts.dtype) + enc["conv2"]["b"].astype(pts.dtype)  # [B,G,M,256]
     g = jnp.max(h, axis=2, keepdims=True)  # [B,G,1,256]
-    h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)  # [B,G,M,512]
-    h = h @ enc["conv3"]["w"].astype(pts.dtype) + enc["conv3"]["b"].astype(pts.dtype)
+    # Reference computes cat([g.expand(M), h], -1) @ W3 (dvae.py Encoder).
+    # By distributivity that is g @ W3[:256] + h @ W3[256:], exactly —
+    # which never materialises the [B,G,M,512] concat (~1 GB HBM at B64)
+    # and runs the global half on [B,G,1,·] rows (1/M the flops), so
+    # conv3's row-major work halves. Accumulation still fp32 per output.
+    w3 = enc["conv3"]["w"].astype(pts.dtype)
+    d2 = h.shape[-1]
+    h = (h @ w3[d2:] + g @ w3[:d2]
+         + enc["conv3"]["b"].astype(pts.dtype))
     h, bn2_s = batch_norm(h, enc["bn2"], s["encoder"]["bn2"], train, axis_name=bn_axis_name)
     h = jax.nn.relu(h)
     h = h @ enc["conv4"]["w"].astype(pts.dtype) + enc["conv4"]["b"].astype(pts.dtype)
