@@ -91,6 +91,15 @@ def test_resblock_dispatch_gating():
         jnp.zeros((4, 16, 128), jnp.bfloat16), p, "gelu")  # too few rows
     p_ls = L.resblock_init(jax.random.PRNGKey(0), 128, ls_init_value=0.1)
     assert not FM.fused_mlp_applicable(x_ok, p_ls, "gelu")
+    # bigG-scale weights (D=1664, H=8192 -> 54.5 MB) stay applicable (the
+    # kernel clamps tm to 256 so the scoped-VMEM budget holds — the tm=512
+    # tile compile-OOM'd at B32); anything past 56 MB must refuse
+    p_big = L.resblock_init(jax.random.PRNGKey(1), 1664, mlp_ratio=8192/1664)
+    x_big = jnp.zeros((32, 257, 1664), jnp.bfloat16)
+    assert FM.fused_mlp_applicable(x_big, p_big, "gelu")
+    p_huge = L.resblock_init(jax.random.PRNGKey(2), 2048, mlp_ratio=4.0)
+    x_huge = jnp.zeros((32, 257, 2048), jnp.bfloat16)
+    assert not FM.fused_mlp_applicable(x_huge, p_huge, "gelu")
     # CPU-pinned tests must never take the kernel path
     assert not FM.fused_mlp_available()
 

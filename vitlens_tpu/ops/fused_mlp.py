@@ -38,6 +38,17 @@ Params = Dict[str, Any]
 
 _MIN_ROWS = 4096  # below this the kernel's win does not cover its overhead
 
+# Both weight matrices must stay VMEM-resident under the 64 MB scoped cap
+# alongside the row tiles and the fp32 hidden intermediate. bigG-scale MLPs
+# (D=1664, H=8192 -> 54.5 MB of weights) blow the budget at the default
+# row tile: observed compile OOM "68.41M > 64.33M limit" at B32 tm=512
+# (2026-08-17) — _pallas_fused_mlp clamps tm to 256 above _TM_CLAMP_BYTES
+# (measured fitting and worth ~5% at bigG B16; tm=256 also wins on the
+# isolated ViT-L op, scripts/bench_fused_mlp_rows.py). Shapes past
+# _MAX_WEIGHT_BYTES are refused outright -> XLA MLP path.
+_TM_CLAMP_BYTES = 32 * 1024 * 1024
+_MAX_WEIGHT_BYTES = 56 * 1024 * 1024
+
 
 def _gelu_erf_approx(x32: jnp.ndarray) -> jnp.ndarray:
     """0.5*x*(1+erf(x/sqrt(2))) with A&S 7.1.26 erf (|err| <= 1.5e-7)."""
@@ -96,6 +107,8 @@ def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
         tm = _default_tm()
     m, d = x.shape
     hidden = w1.shape[1]
+    if 4 * d * hidden > _TM_CLAMP_BYTES:  # 2 bf16 matrices = 4*d*h bytes
+        tm = min(tm, 256)
     row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),  # noqa: E731
                                  memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((m, d), x.dtype)]
@@ -249,6 +262,7 @@ def fused_mlp_applicable(x: jnp.ndarray, p: Params, act_name: str) -> bool:
     for s in x.shape[:-1]:
         rows *= s
     return (rows >= _MIN_ROWS and d % 128 == 0 and hidden % 128 == 0
+            and 2 * 2 * d * hidden <= _MAX_WEIGHT_BYTES
             and "b" in p["mlp"]["fc"] and "b" in p["mlp"]["proj"])
 
 
