@@ -45,19 +45,26 @@ MODALITY_BATCH_KEY = {"pc": "pc", "audio": "audio", "depth": "depth",
 
 
 def build_train_data(args: TrainArgs, tokenizer, n_shards: int,
-                     cfg=None) -> Optional[DataInfo]:
+                     cfg=None, proc_id: int = 0,
+                     n_procs: int = 1) -> Optional[DataInfo]:
+    """n_shards = GLOBAL data-parallel replicas. Each process loads its
+    1/n_procs slice of the global batch (reference DistributedSampler
+    semantics: shard_id=rank) — shard_batch assembles the global array
+    from the process-local slices."""
     if not args.train_data:
         return None
+    batch = args.batch_size * n_shards // n_procs
     if args.dataset_type == "synthetic":
         spec = _synthetic_spec(args, cfg)
         ds = SyntheticDataset(spec, n=args.train_num_samples or 1024,
                               seed=args.seed)
-        return build_loader(ds, batch_size=args.batch_size * n_shards,
-                            shuffle=True, seed=args.seed,
+        return build_loader(ds, batch_size=batch, shard_id=proc_id,
+                            n_shards=n_procs, shuffle=True, seed=args.seed,
                             num_workers=args.workers)
     ds = _build_real_dataset(args, args.train_data, train=True, cfg=cfg)
-    return build_loader(ds, batch_size=args.batch_size * n_shards,
-                        shuffle=True, seed=args.seed, num_workers=args.workers)
+    return build_loader(ds, batch_size=batch, shard_id=proc_id,
+                        n_shards=n_procs, shuffle=True, seed=args.seed,
+                        num_workers=args.workers)
 
 
 def _synthetic_spec(args: TrainArgs, cfg=None) -> Dict[str, tuple]:
@@ -396,6 +403,12 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
+    # multi-host bootstrap BEFORE the first backend touch (torchrun/SLURM
+    # env discovery, reference training/distributed.py:12-144); no-op when
+    # launched single-process
+    from vitlens_tpu.parallel.mesh import init_distributed
+
+    init_distributed()
     name = args.name or f"{args.modality}_{args.model}_{time.strftime('%Y%m%d_%H%M%S')}"
     log_dir = os.path.join(args.logs, name)
     setup_logging(os.path.join(log_dir, "out.log"))
@@ -482,7 +495,10 @@ def main(argv=None) -> int:
         print(_json.dumps(out))
         return 0
 
-    train_info = build_train_data(args, tokenizer, n_shards, cfg)
+    proc_id, n_procs = jax.process_index(), jax.process_count()
+    is_rank0 = proc_id == 0
+    train_info = build_train_data(args, tokenizer, n_shards, cfg,
+                                  proc_id=proc_id, n_procs=n_procs)
     if train_info is None:
         results = evaluate(args, params, model_state, cfg, tokenizer,
                            mesh=mesh)
@@ -545,9 +561,16 @@ def main(argv=None) -> int:
     meter = ThroughputMeter(n_chips=n_chips)
     saver = C.AsyncSaver()
     sync_stop = None
-    if args.remote_sync:
+    if args.remote_sync and is_rank0:
         sync_stop = C.start_remote_sync(ckpt_dir, args.remote_sync,
                                         args.remote_sync_frequency)
+    # host checkpoint snapshots need fully-replicated (or single-process)
+    # state: a cross-process FSDP shard can't be np.asarray'd locally
+    can_snapshot = n_procs == 1 or partition == "ddp"
+    if not can_snapshot:
+        logging.warning("multi-host FSDP state is process-sharded; epoch "
+                        "checkpoints are skipped (use single-host or ddp "
+                        "partition for checkpointed runs)")
 
     rng = jax.random.PRNGKey(args.seed)
     global_step = int(np.asarray(ts.step))
@@ -587,14 +610,15 @@ def main(argv=None) -> int:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 m.update({"samples_per_s": sps, "samples_per_s_chip": spsc,
                           "epoch": epoch})
-                writer.log(m, global_step, "train")
-                logging.info(
-                    f"epoch {epoch} step {global_step}: "
-                    + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                if is_rank0:
+                    writer.log(m, global_step, "train")
+                    logging.info(
+                        f"epoch {epoch} step {global_step}: "
+                        + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
         # end epoch: eval + ckpt (host snapshot is synchronous — it decouples
         # from donated device buffers — the disk write happens on the saver
         # worker so the next epoch starts immediately)
-        host_ts = jax.tree.map(np.asarray, ts)
+        host_ts = jax.tree.map(np.asarray, ts) if can_snapshot else None
         if args.val_data and (epoch + 1) % args.val_frequency == 0:
             # device-resident train params go straight into the eval jits
             # (no host round-trip); under a mesh the encode batches shard
@@ -602,11 +626,14 @@ def main(argv=None) -> int:
             results = evaluate(args, ts.params, ts.model_state, cfg,
                                tokenizer, mesh=mesh)
             metric = _primary_metric(results)
-            writer.log({"primary": metric, **_flatten_results(results)},
-                       global_step, "val")
-            saver.submit(lambda s=host_ts, e=epoch + 1, m=metric:
-                         C.save_best(ckpt_dir, s, e, m))
-        if (epoch + 1) % args.save_frequency == 0 or args.save_most_recent:
+            if is_rank0:
+                writer.log({"primary": metric, **_flatten_results(results)},
+                           global_step, "val")
+                if host_ts is not None:
+                    saver.submit(lambda s=host_ts, e=epoch + 1, m=metric:
+                                 C.save_best(ckpt_dir, s, e, m))
+        if (((epoch + 1) % args.save_frequency == 0 or args.save_most_recent)
+                and is_rank0 and host_ts is not None):
             saver.submit(lambda s=host_ts, e=epoch + 1:
                          C.save_checkpoint(ckpt_dir, s, e,
                                            is_latest=args.save_most_recent))

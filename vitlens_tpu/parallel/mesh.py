@@ -53,13 +53,19 @@ def init_distributed() -> int:
         try:
             jax.distributed.initialize(coordinator_address=addr,
                                        num_processes=nproc, process_id=pid)
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # ONLY the double-init race is benign. A connect failure must be
+            # loud: swallowing it would leave every rank running an
+            # independent single-host job (duplicated data, clobbered
+            # checkpoints).
+            if "already initialized" not in str(e):
+                raise
     elif addr:
         try:
             jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            if "already initialized" not in str(e):
+                raise
     return jax.process_index()
 
 
