@@ -327,10 +327,15 @@ def point_tokenizer_apply(
     # which never materialises the [B,G,M,512] concat (~1 GB HBM at B64)
     # and runs the global half on [B,G,1,·] rows (1/M the flops), so
     # conv3's row-major work halves. Accumulation still fp32 per output.
+    # fp32 partials so the split reduction rounds ONCE like the reference's
+    # single 512-deep accumulate (bf16 partial outputs would add a second
+    # rounding before the sum)
     w3 = enc["conv3"]["w"].astype(pts.dtype)
     d2 = h.shape[-1]
-    h = (h @ w3[d2:] + g @ w3[:d2]
-         + enc["conv3"]["b"].astype(pts.dtype))
+    h32 = (jnp.matmul(h, w3[d2:], preferred_element_type=jnp.float32)
+           + jnp.matmul(g, w3[:d2], preferred_element_type=jnp.float32)
+           + enc["conv3"]["b"].astype(jnp.float32))
+    h = h32.astype(pts.dtype)
     h, bn2_s = batch_norm(h, enc["bn2"], s["encoder"]["bn2"], train, axis_name=bn_axis_name)
     h = jax.nn.relu(h)
     h = h @ enc["conv4"]["w"].astype(pts.dtype) + enc["conv4"]["b"].astype(pts.dtype)

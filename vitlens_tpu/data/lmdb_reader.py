@@ -88,8 +88,13 @@ class Environment:
         if os.path.isdir(path) if subdir is None else subdir:
             path = os.path.join(path, "data.mdb")
         self.path = path
+        # map, don't slurp: real Objaverse buckets are multi-GB each and a
+        # dataset opens every bucket eagerly — the OS pages on demand, like
+        # py-lmdb's own mmap
+        import mmap
+
         with _builtin_open(path, "rb") as f:
-            self._data = f.read()
+            self._data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         self._main = self._pick_meta()
 
     # -- format --------------------------------------------------------

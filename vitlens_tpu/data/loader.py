@@ -187,7 +187,12 @@ class DevicePrefetcher:
     batch N's compute."""
 
     def __init__(self, loader: Iterable, mesh=None, exclude_keys=(),
-                 depth: int = 2, map_fn: Optional[Callable] = None):
+                 depth: int = 1, map_fn: Optional[Callable] = None):
+        # depth=1 already gives full overlap (stage N+1 while N computes)
+        # at a 2-batch device watermark — the same as the synchronous path.
+        # depth=2 holds a 3rd staged batch (~110 MB at audio B128), which
+        # on knife-edge configs (audio B256, pc B128 — see CLAUDE.md OOM
+        # notes) can tip training back into OOM for only jitter-smoothing.
         self.loader = loader
         self.mesh = mesh
         self.exclude = set(exclude_keys)

@@ -184,13 +184,28 @@ def pipeline_place(tower_params: Params, mesh: Mesh) -> Params:
     layer-sharded over `pipe` (when divisible), everything else
     replicated."""
     repl = NamedSharding(mesh, P())
-    placed = jax.tree.map(lambda t: jax.device_put(t, repl), tower_params)
-    trunk = placed.get("trunk") if isinstance(placed, dict) else None
+    trunk = (tower_params.get("trunk")
+             if isinstance(tower_params, dict) else None)
+    pipe_blocks = None
     if trunk and "blocks" in trunk:
         layers = jax.tree.leaves(trunk["blocks"])[0].shape[0]
         if layers % mesh.shape[PIPE_AXIS] == 0:
-            placed = dict(placed)
-            placed["trunk"] = dict(trunk)
-            placed["trunk"]["blocks"] = shard_trunk_pipeline(
+            # shard the (largest) trunk weights directly — replicating them
+            # first would double H2D traffic and transiently hold a full
+            # copy per chip, defeating PP's memory point
+            pipe_blocks = shard_trunk_pipeline(
                 {"blocks": trunk["blocks"]}, mesh)["blocks"]
+
+    def place(path, leaf):
+        if pipe_blocks is not None and len(path) >= 2 and (
+                getattr(path[0], "key", None) == "trunk"
+                and getattr(path[1], "key", None) == "blocks"):
+            return leaf  # replaced wholesale below, already pipe-sharded
+        return jax.device_put(leaf, repl)
+
+    placed = jax.tree_util.tree_map_with_path(place, tower_params)
+    if pipe_blocks is not None:
+        placed = dict(placed)
+        placed["trunk"] = dict(placed["trunk"])
+        placed["trunk"]["blocks"] = pipe_blocks
     return placed

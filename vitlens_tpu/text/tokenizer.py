@@ -99,8 +99,11 @@ def _fix_mojibake(text: str) -> str:
     return text
 
 
+# ftfy's remove_control_chars set: C0/C1 controls EXCEPT the whitespace
+# ones ftfy keeps (\t \n \f \r), plus the zero-width BOM U+FEFF
 _CONTROL_CHARS = frozenset(
-    c for c in map(chr, list(range(32)) + [0x7F]) if c not in "\t\n\r")
+    c for c in map(chr, list(range(32)) + list(range(0x7F, 0xA0)))
+    if c not in "\t\n\f\r") | {"\ufeff"}
 
 
 def _basic_clean(text: str) -> str:
