@@ -81,3 +81,36 @@ def test_batch_buckets_exact(model):
     # a batch above every bucket runs at its exact shape
     many = {ModalityType.TEXT: ["t%d" % i for i in range(9)]}
     assert bucketed.encode(many)["text"].shape == (9, 512)
+
+
+def test_mesh_sharded_encode_exact(model):
+    """mesh serving mode: weights replicate onto a multi-chip mesh, encode
+    batches shard over the data axis (rows pad to a multiple of it), and
+    the embeddings equal the single-device ones exactly."""
+    from vitlens_tpu.parallel.mesh import make_mesh
+
+    cpus = jax.local_devices(backend="cpu")
+    assert len(cpus) >= 4  # conftest forces 8 virtual CPU devices
+    meshed = ViTLens(
+        model_var="vitlensB", modality_loaded=["image", "text", "audio"],
+        mesh=make_mesh(n_data=4, devices=cpus[:4]),
+    )
+    # share weights with the exact-shape model for a true A/B
+    for m in ("image", "text", "audio"):
+        meshed._towers[m] = dict(model._towers[m])
+        meshed._place_tower(meshed._towers[m])
+    meshed._jit_cache.clear()
+
+    inputs = {
+        ModalityType.IMAGE: [f"{ASSETS}/image_bird.jpg",      # 2 rows -> pad 4
+                             f"{ASSETS}/image_dog.jpg"],
+        ModalityType.TEXT: ["a bird", "a dog", "sea wave",
+                            "rain", "thunder"],               # 5 rows -> pad 8
+        ModalityType.AUDIO: [f"{ASSETS}/audio_dog.flac"],     # 4D clip path
+    }
+    want = model.encode(inputs, normalize=True)
+    got = meshed.encode(inputs, normalize=True)
+    for k in want:
+        assert np.asarray(got[k]).shape == np.asarray(want[k]).shape
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=2e-6, err_msg=k)

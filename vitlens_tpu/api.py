@@ -49,15 +49,30 @@ class ViTLens:
         compute_dtype=jnp.float32,
         seed: int = 0,
         batch_buckets: Optional[Sequence[int]] = None,
+        mesh=None,
     ):
         """batch_buckets: serving aid — pad each encode batch up to the
         next bucket size so XLA compiles once per bucket instead of once
         per distinct batch size (padded rows are zero inputs, computed
         row-independently and sliced off; embeddings are exact). E.g.
-        `batch_buckets=(1, 8, 32)`. None = exact shapes (default)."""
+        `batch_buckets=(1, 8, 32)`. None = exact shapes (default).
+
+        mesh: optional `jax.sharding.Mesh` with a `data` axis (see
+        `parallel.mesh.make_mesh`). Weights replicate onto the mesh and
+        every encode batch shards over `data`, so serving throughput
+        scales with chips at the per-chip-optimal batch (B64 is the
+        measured per-chip optimum — scale chips, not batch; CLAUDE.md).
+        Rows pad to a multiple of the data axis and are sliced off;
+        embeddings are exact. The reference serves single-GPU only."""
         trunk = {"vitlensL": "ViT-L-14", "vitlensB": "ViT-B-16"}[model_var]
         self.model_var = model_var
         self.trunk = trunk
+        self.mesh = mesh
+        if mesh is not None:
+            from vitlens_tpu.parallel.mesh import data_sharding
+
+            self._dsh = data_sharding(mesh)
+            self._ndata = mesh.shape["data"]
         self.batch_buckets = (tuple(sorted(batch_buckets))
                               if batch_buckets else None)
         self.compute_dtype = compute_dtype
@@ -99,7 +114,32 @@ class ViTLens:
 
         if ckpt_path:
             self._load_ckpt(entry, m, ckpt_path)
+        self._place_tower(entry)
         self._towers[m] = entry
+
+    def _place_tower(self, entry) -> None:
+        """Replicate a tower's weights onto the serving mesh (no-op
+        single-chip). One H2D per tower at load time, none per request."""
+        if self.mesh is None:
+            return
+        from vitlens_tpu.parallel.mesh import replicate
+
+        entry["params"] = replicate(self.mesh, entry["params"])
+        if entry["state"] is not None:
+            entry["state"] = replicate(self.mesh, entry["state"])
+
+    def _shard_rows(self, x: jnp.ndarray):
+        """Pad the leading (row) dim to a multiple of the mesh data axis
+        and shard; returns (sharded_x, real_rows). Identity without a
+        mesh."""
+        r = x.shape[0]
+        if self.mesh is None:
+            return x, r
+        pad = (-r) % self._ndata
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return jax.device_put(x, self._dsh), r
 
     def _load_ckpt(self, entry, m: str, path: str):
         from vitlens_tpu.weights.torch_convert import (
@@ -169,14 +209,17 @@ class ViTLens:
             entry = self._towers[m]
             fn = self._encode_fn(m)
             if entry["kind"] == "text":
-                feats = fn(entry["params"], x)
+                xr, r = self._shard_rows(x)
+                feats = fn(entry["params"], xr)[:r]
             elif m == "audio" and x.ndim == 4:
                 Bp, S = x.shape[:2]
-                feats = fn(entry["params"], entry["state"],
-                           x.reshape((Bp * S,) + x.shape[2:]))
+                xr, r = self._shard_rows(
+                    x.reshape((Bp * S,) + x.shape[2:]))
+                feats = fn(entry["params"], entry["state"], xr)[:r]
                 feats = feats.reshape(Bp, S, -1).mean(axis=1)  # clip mean
             else:
-                feats = fn(entry["params"], entry["state"], x)
+                xr, r = self._shard_rows(x)
+                feats = fn(entry["params"], entry["state"], xr)[:r]
             feats = feats[:B]
             out[m] = _l2n(feats) if normalize else feats
         return out
@@ -229,3 +272,4 @@ class ViTLens:
             self._towers[m]["params"] = restored["params"][m]
             if m in restored.get("state", {}):
                 self._towers[m]["state"] = restored["state"][m]
+            self._place_tower(self._towers[m])

@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt", action="append", default=[],
                    help="modality=path (repeatable); use all=path for merged")
     p.add_argument("--logit-scale", type=float, default=100.0)
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="shard encode batches over an N-chip data mesh "
+                        "(0 = single device)")
     args = p.parse_args(argv)
 
     inputs = {}
@@ -44,7 +47,13 @@ def main(argv=None) -> int:
 
     from vitlens_tpu.api import ViTLens
 
-    model = ViTLens(model_var=args.model_var,
+    mesh = None
+    if args.data_parallel:
+        from vitlens_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel)
+
+    model = ViTLens(model_var=args.model_var, mesh=mesh,
                     modality_loaded=list(inputs), checkpoints=ckpts)
     out = model.encode(inputs, normalize=True)
 
