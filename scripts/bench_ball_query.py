@@ -1,0 +1,128 @@
+"""Ball-query selection A/B on the vitlensG shape: [B=16, S=512, N=10000],
+k=64. The r3 bigG breakdown (scripts/bench_bigG_breakdown.py) showed ball
+query at ~71 ms of a ~193 ms B16 encode batch (37%); the suspect is
+lax.top_k over the [B,S,N] candidate tensor.
+
+Variants (all implement the same semantics: k smallest candidate values,
+ascending, where cand = index if in-ball else N):
+
+  top_k        current ops/fps.py path (lax.top_k on -cand)
+  approx_r100  lax.approx_min_k recall_target=1.0  (exact partial-reduce)
+  approx_r95   lax.approx_min_k recall_target=0.95 (what pc-kNN uses)
+  sort         full lax.sort then slice (reference point: the naive way)
+
+Values are unique int32 indices cast to fp32 (max 10240 < 2^24: exactly
+representable, so exact variants stay bit-identical to top_k).
+
+Run: timeout 900 python scripts/bench_ball_query.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+B, S, N, K = 16, 512, 10000, 64
+RADIUS = 0.2
+ITERS = int(os.environ.get("BENCH_ITERS", "30"))
+
+
+def square_distance(a, b):
+    # matches ops/fps.py::square_distance
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    return a2 - 2.0 * jnp.einsum("bsc,bnc->bsn", a, b) + jnp.swapaxes(b2, -1, -2)
+
+
+def make_cand(query, xyz):
+    d = square_distance(query, xyz)
+    in_ball = d <= RADIUS ** 2
+    arange = jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2)
+    return jnp.where(in_ball, arange, N)
+
+
+def sel_top_k(cand):
+    return -jax.lax.top_k(-cand, K)[0]
+
+
+def sel_approx(cand, recall):
+    vals, _ = jax.lax.approx_min_k(cand.astype(jnp.float32), K,
+                                   recall_target=recall)
+    return vals.astype(jnp.int32)
+
+
+def sel_sort(cand):
+    return jax.lax.sort(cand, dimension=-1)[..., :K]
+
+
+def finish(cand_k):
+    first = cand_k[..., :1]
+    return jnp.where(cand_k == N, first, cand_k).astype(jnp.int32)
+
+
+def bench(sel, xyz, query):
+    @jax.jit
+    def loop(xyz, query):
+        def body(carry, _):
+            q = carry
+            out = finish(sel(make_cand(q, xyz)))
+            # data dependence between iterations without changing the result
+            q = q + 1e-12 * out[..., :1].astype(q.dtype).sum(-1, keepdims=True)
+            return q, out.sum()
+
+        q, s = jax.lax.scan(body, query, None, length=ITERS)
+        return s
+
+    t0 = time.time()
+    np.asarray(loop(xyz, query))
+    comp = time.time() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(loop(xyz, query))
+        best = min(best, (time.time() - t0) / ITERS)
+    return best, comp
+
+
+def main() -> int:
+    np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))  # fence TPU up
+    print(json.dumps({"stage": "tpu_up"}), flush=True)
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.randn(B, N, 3) * 0.3, jnp.float32)
+    qi = rng.choice(N, S, replace=False)
+    query = xyz[:, qi, :]
+
+    # correctness cross-check on-device first
+    cand = jax.jit(make_cand)(query, xyz)
+    want = np.asarray(finish(sel_top_k(cand)))
+    got_exact = np.asarray(finish(sel_approx(cand, 1.0)))
+    exact_match = bool((want == got_exact).all())
+    got_95 = np.asarray(finish(sel_approx(cand, 0.95)))
+    agree_95 = float((want == got_95).mean())
+    print(json.dumps({"approx_r100_bit_exact": exact_match,
+                      "approx_r95_slot_agreement": round(agree_95, 5)}),
+          flush=True)
+
+    for name, sel in (("top_k", sel_top_k),
+                      ("approx_r100", lambda c: sel_approx(c, 1.0)),
+                      ("approx_r95", lambda c: sel_approx(c, 0.95)),
+                      ("sort", sel_sort)):
+        sec, comp = bench(sel, xyz, query)
+        print(json.dumps({"variant": name,
+                          "ms_per_call": round(sec * 1e3, 2),
+                          "compile_s": round(comp, 1)}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

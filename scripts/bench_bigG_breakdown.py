@@ -31,11 +31,15 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
-def bench(fn, pc, iters=ITERS):
+def bench(fn, weights, pc, iters=ITERS):
+    """`weights` (any pytree) is an EXPLICIT jit arg — closing over the
+    4.3 GB bigG params bakes them into the jaxpr as constants, which makes
+    lowering pathological and has wedged the chip before (CLAUDE.md)."""
+
     @jax.jit
-    def loop(pc):
+    def loop(weights, pc):
         def body(carry, _):
-            out = fn(carry)
+            out = fn(weights, carry)
             nxt = carry + 1e-6 * out
             return nxt, out
 
@@ -43,12 +47,12 @@ def bench(fn, pc, iters=ITERS):
         return outs
 
     t0 = time.time()
-    np.asarray(loop(pc))
+    np.asarray(loop(weights, pc))
     comp = time.time() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        np.asarray(loop(pc))
+        np.asarray(loop(weights, pc))
         best = min(best, (time.time() - t0) / iters)
     return best, comp
 
@@ -78,33 +82,33 @@ def main() -> int:
     pc = jnp.asarray(np.random.RandomState(0).randn(BATCH, pt.npoints, 6)
                      * 0.3, jnp.float32)
 
-    def run_fps(carry):
+    def run_fps(_, carry):
         c = fps(carry[..., :3], pt.num_group, key=None)
         return jnp.mean(c)
 
-    def run_ball(carry):
+    def run_ball(_, carry):
         xyz = carry[..., :3]
         c = fps(xyz, pt.num_group, key=None)
         idx = ball_query(xyz, c, pt.radius, pt.group_size)
         return jnp.mean(idx.astype(jnp.float32))
 
-    tok_p = params["adapter"]
-    tok_s = state["adapter"]
-
-    def run_tokenizer(carry):
+    def run_tokenizer(w, carry):
         (tokens, _), _ = pnsa_tokenizer_apply(
-            tok_p, tok_s, carry, carry[..., :3], pt)
+            w["p"], w["s"], carry, carry[..., :3], pt)
         return jnp.mean(tokens)
 
-    def run_full(carry):
-        f, _ = vision_tower_apply(params, state, carry, cfg,
+    def run_full(w, carry):
+        f, _ = vision_tower_apply(w["p"], w["s"], carry, cfg,
                                   compute_dtype=jnp.bfloat16)
         return jnp.mean(f)
 
+    adapter_w = {"p": params["adapter"], "s": state["adapter"]}
+    full_w = {"p": params, "s": state}
     results = {}
-    for name, fn in (("fps", run_fps), ("ball", run_ball),
-                     ("tokenizer", run_tokenizer), ("full_encode", run_full)):
-        sec, comp = bench(fn, pc)
+    for name, fn, w in (("fps", run_fps, 0), ("ball", run_ball, 0),
+                        ("tokenizer", run_tokenizer, adapter_w),
+                        ("full_encode", run_full, full_w)):
+        sec, comp = bench(fn, w, pc)
         results[name] = sec
         print(json.dumps({
             "stage": name, "ms_per_batch": round(sec * 1e3, 2),

@@ -391,7 +391,8 @@ def pnsa_tokenizer_apply(
     [grouped_xyz - center ; grouped_features] -> shared MLP + max-pool,
     then lift [center ; feat] -> trans_dim + LayerNorm."""
     new_xyz = fps(xyz, cfg.num_group, key=fps_key)  # [B,G,3]
-    idx = ball_query(xyz, new_xyz, cfg.radius, cfg.group_size)  # [B,G,M]
+    idx = ball_query(xyz, new_xyz, cfg.radius, cfg.group_size,
+                     exact=cfg.knn_exact)  # [B,G,M]
     B, G, M = idx.shape
     take = jax.vmap(lambda a, i: a[i])
     grouped_xyz = take(xyz, idx.reshape(B, G * M)).reshape(B, G, M, 3)

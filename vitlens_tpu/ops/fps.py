@@ -288,10 +288,26 @@ def ball_query(
     query: jnp.ndarray,
     radius: float,
     nsample: int,
+    exact: Optional[bool] = None,
+    recall_target: float = 0.95,
 ) -> jnp.ndarray:
     """Ball query: for each query point take up to `nsample` points within
     `radius`; out-of-ball slots are filled with the first in-ball index
     (reference: pointnet/pointnet_util.py:101-123).
+
+    exact=None -> exact on CPU (bit-parity with the reference), approx on
+    TPU. The selection is k-smallest over cand = (index if in-ball else N);
+    lax.top_k lowers sort-like and costs 71.8 ms at the vitlensG shape
+    ([16,512,10000] k=64) — 37% of the whole bigG encode batch.
+    lax.approx_min_k (TPU PartialReduce) on the same candidates is 37.7 ms
+    at recall_target=1.0 (bit-exact: candidate values are unique ints) and
+    2.2 ms at 0.95 (scripts/bench_ball_query.py, 2026-08-17). At 0.95 the
+    selected in-ball subset can differ from first-k-by-index — but WHICH
+    in-ball points a ball query keeps is already arbitrary (the reference's
+    first-by-index order is a CUDA loop artifact, and every selected point
+    still lies within `radius`); downstream features are validated against
+    exact in the bigG encode bench. Indices stay exactly representable in
+    the fp32 approx path for N < 2^24.
 
     Returns [B, S, nsample] int32.
     """
@@ -299,15 +315,22 @@ def ball_query(
     S = query.shape[1]
     d = square_distance(query, xyz)  # [B,S,N]
     in_ball = d <= radius ** 2
-    # Sort candidate indices: in-ball points keep their original index order,
+    # Candidate indices: in-ball points keep their original index order,
     # out-of-ball points are pushed to the end (index set to N).
     arange = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
     )
     cand = jnp.where(in_ball, arange, N)
-    # k smallest indices in ascending order == what sorting then slicing
-    # gives, but top_k is O(N log k) not a full O(N log N) sort over the
-    # [B, S, N] tensor (N=10240 for vitlensG)
-    cand = -jax.lax.top_k(-cand, min(nsample, N))[0]
+    if exact is None:
+        from vitlens_tpu.ops.attention import _flash_available
+
+        exact = not _flash_available()
+    k = min(nsample, N)
+    if exact or N >= 2 ** 24:
+        cand = -jax.lax.top_k(-cand, k)[0]
+    else:
+        vals, _ = jax.lax.approx_min_k(cand.astype(jnp.float32), k,
+                                       recall_target=recall_target)
+        cand = vals.astype(jnp.int32)
     first = cand[..., :1]
     return jnp.where(cand == N, first, cand).astype(jnp.int32)
