@@ -119,10 +119,33 @@ def main() -> int:
     bcast = broadcast_object(f"ckpt-from-rank-{pid}")
     gathered = all_gather_object(pid)
 
+    # collective sharded checkpointing: FSDP-place the state so leaves are
+    # CROSS-PROCESS sharded (np.asarray on them is impossible — exactly the
+    # case the host-numpy save cannot handle), save with each host writing
+    # its own shards, restore onto the same shardings, compare local shards.
+    ckpt_ok = None
+    ckpt_root = os.environ.get("MULTIHOST_CKPT_DIR")
+    if ckpt_root:
+        from vitlens_tpu.parallel.fsdp import fsdp_place
+        from vitlens_tpu.train import checkpoint as C
+
+        ts_sh = fsdp_place(ts, mesh, min_elems=16)
+        path = C.save_checkpoint_sharded(ckpt_root, ts_sh, epoch=1)
+        ts_back = C.load_checkpoint_sharded(path, ts_sh)
+        ckpt_ok = True
+        for a, b in zip(jax.tree.leaves(ts_sh), jax.tree.leaves(ts_back)):
+            assert a.sharding == b.sharding, (a.sharding, b.sharding)
+            for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+                ckpt_ok &= bool(np.array_equal(np.asarray(sa.data),
+                                               np.asarray(sb.data)))
+        ckpt_ok = bool(ckpt_ok
+                       and C.load_meta(path).get("sharded") is True)
+
     print("MULTIHOST_OK " + json.dumps({
         "rank": pid, "loss": round(loss, 6), "grad_norm": round(grad_norm, 6),
         "accuracy": merged["accuracy"], "bcast": str(bcast),
         "gather": list(np.asarray(gathered).reshape(-1).tolist()),
+        "ckpt_roundtrip": ckpt_ok,
     }), flush=True)
     return 0
 

@@ -104,3 +104,41 @@ def test_async_saver_orders_and_propagates(tmp_path):
     with pytest.raises(RuntimeError, match="disk full"):
         s.wait()
     s.close()
+
+
+def test_sharded_save_restore_and_reshard(tmp_path):
+    """Collective (orbax) checkpointing of device-sharded state: shards
+    round-trip exactly onto the same shardings, and a restore onto a
+    DIFFERENT target layout (replicated) reshards on read — the property
+    the multi-host resume path relies on (cli/train.py defers sharded
+    resume until after fsdp_place). Cross-process coverage lives in
+    tests/test_multihost.py; this runs the same API single-process on the
+    8-virtual-device mesh so the normal suite guards it."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.local_devices(backend="cpu")[:4]
+    mesh = Mesh(np.array(devs), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    state = {
+        "params": {"w": jax.device_put(
+            np.arange(32, dtype=np.float32).reshape(8, 4), sh)},
+        "step": jax.device_put(np.int32(7), rep),
+    }
+    path = C.save_checkpoint_sharded(str(tmp_path / "ck"), state, epoch=3)
+    assert C.load_meta(path).get("sharded") is True
+    # latest mirror exists and resolves
+    assert C.get_latest_checkpoint(str(tmp_path / "ck"))
+
+    back = C.load_checkpoint_sharded(path, state)
+    assert back["params"]["w"].sharding == sh
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
+    assert int(np.asarray(back["step"])) == 7
+
+    # reshard-on-read: same file restored onto a replicated target
+    target = jax.tree.map(lambda a: jax.device_put(np.asarray(a), rep), state)
+    back2 = C.load_checkpoint_sharded(path, target)
+    assert back2["params"]["w"].sharding == rep
+    np.testing.assert_array_equal(np.asarray(back2["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))

@@ -29,8 +29,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _worker_env(rank: int, port: int) -> dict:
+def _worker_env(rank: int, port: int, ckpt_dir: str = "") -> dict:
     env = dict(os.environ)
+    if ckpt_dir:
+        env["MULTIHOST_CKPT_DIR"] = ckpt_dir
     # CPU-only jax: drop the axon TPU site hook (two ranks must not contend
     # for the single tunnel chip) and force 4 host devices per process
     env.pop("PYTHONPATH", None)
@@ -45,10 +47,12 @@ def _worker_env(rank: int, port: int) -> dict:
     return env
 
 
-def test_two_process_mesh_step_and_metric_merge():
+def test_two_process_mesh_step_and_metric_merge(tmp_path):
     port = _free_port()
+    ckpt_dir = str(tmp_path / "mh_ckpt")  # shared across both ranks
     procs = [
-        subprocess.Popen([sys.executable, WORKER], env=_worker_env(r, port),
+        subprocess.Popen([sys.executable, WORKER],
+                         env=_worker_env(r, port, ckpt_dir),
                          cwd=REPO_ROOT, stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE, text=True)
         for r in range(2)
@@ -86,3 +90,5 @@ def test_two_process_mesh_step_and_metric_merge():
     assert r0["accuracy"] == pytest.approx(r1["accuracy"])
     assert r0["bcast"] == r1["bcast"] == "ckpt-from-rank-0"
     assert r0["gather"] == r1["gather"] == [0, 1]
+    # collective sharded checkpoint round-trip (cross-process FSDP shards)
+    assert r0["ckpt_roundtrip"] is True and r1["ckpt_roundtrip"] is True

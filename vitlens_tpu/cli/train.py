@@ -541,10 +541,15 @@ def main(argv=None) -> int:
 
     ckpt_dir = os.path.join(log_dir, "checkpoints")
     start_epoch = 0
+    resume_sharded = None
     if args.resume:
         path = (C.get_latest_checkpoint(ckpt_dir) if args.resume == "latest"
                 else args.resume)
-        if path:
+        if path and C.load_meta(path).get("sharded"):
+            # a collective checkpoint restores onto the PLACED target
+            # shardings — defer until after fsdp_place/replicate below
+            resume_sharded = path
+        elif path:
             ts = C.load_checkpoint(path, ts, ckpt_only=args.resume_ckpt_only)
             start_epoch = C.load_meta(path).get("epoch", 0)
             logging.info(f"resumed from {path} (epoch {start_epoch})")
@@ -557,6 +562,12 @@ def main(argv=None) -> int:
                   else fsdp_place(ts, mesh))
         else:
             ts = replicate(mesh, ts)
+    if resume_sharded:
+        ts = C.load_checkpoint_sharded(resume_sharded, ts,
+                                       ckpt_only=args.resume_ckpt_only)
+        start_epoch = C.load_meta(resume_sharded).get("epoch", 0)
+        logging.info(f"resumed (sharded) from {resume_sharded} "
+                     f"(epoch {start_epoch})")
     writer = MetricsWriter(log_dir, use_tensorboard="tensorboard" in args.report_to)
     meter = ThroughputMeter(n_chips=n_chips)
     saver = C.AsyncSaver()
@@ -565,12 +576,14 @@ def main(argv=None) -> int:
         sync_stop = C.start_remote_sync(ckpt_dir, args.remote_sync,
                                         args.remote_sync_frequency)
     # host checkpoint snapshots need fully-replicated (or single-process)
-    # state: a cross-process FSDP shard can't be np.asarray'd locally
+    # state: a cross-process FSDP shard can't be np.asarray'd locally —
+    # those runs checkpoint via the collective orbax path instead (each
+    # host writes its own shards, train/checkpoint.py sharded savers)
     can_snapshot = n_procs == 1 or partition == "ddp"
     if not can_snapshot:
-        logging.warning("multi-host FSDP state is process-sharded; epoch "
-                        "checkpoints are skipped (use single-host or ddp "
-                        "partition for checkpointed runs)")
+        logging.info("multi-host sharded state: checkpoints use the "
+                     "collective orbax path (synchronous, every host "
+                     "writes its shards)")
 
     rng = jax.random.PRNGKey(args.seed)
     global_step = int(np.asarray(ts.step))
@@ -632,11 +645,16 @@ def main(argv=None) -> int:
                 if host_ts is not None:
                     saver.submit(lambda s=host_ts, e=epoch + 1, m=metric:
                                  C.save_best(ckpt_dir, s, e, m))
-        if (((epoch + 1) % args.save_frequency == 0 or args.save_most_recent)
-                and is_rank0 and host_ts is not None):
-            saver.submit(lambda s=host_ts, e=epoch + 1:
-                         C.save_checkpoint(ckpt_dir, s, e,
-                                           is_latest=args.save_most_recent))
+            if not can_snapshot:  # COLLECTIVE: every rank participates
+                C.save_best_sharded(ckpt_dir, ts, epoch + 1, metric)
+        if (epoch + 1) % args.save_frequency == 0 or args.save_most_recent:
+            if is_rank0 and host_ts is not None:
+                saver.submit(lambda s=host_ts, e=epoch + 1:
+                             C.save_checkpoint(ckpt_dir, s, e,
+                                               is_latest=args.save_most_recent))
+            elif not can_snapshot:  # COLLECTIVE sharded save (synchronous)
+                C.save_checkpoint_sharded(ckpt_dir, ts, epoch + 1,
+                                          is_latest=args.save_most_recent)
     if trace_active:  # --profile-steps exceeded the run length
         jax.profiler.stop_trace()
     saver.close()  # drain pending writes; re-raises a failed save

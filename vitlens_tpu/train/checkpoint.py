@@ -193,6 +193,103 @@ def jnp_like(ref_leaf, value):
 
 
 # ---------------------------------------------------------------------------
+# distributed (sharded, collective) checkpointing
+# ---------------------------------------------------------------------------
+
+
+def _collective_save(path: str, state: Any) -> None:
+    """Orbax collective save of device-resident state: every process calls
+    it; each host writes only its own array shards (no gather anywhere).
+    Blocks until the write is finalized so donated buffers can be reused."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def save_checkpoint_sharded(
+    root: str,
+    state: Any,
+    epoch: int,
+    *,
+    is_latest: bool = True,
+    extra: Optional[Dict] = None,
+) -> str:
+    """Multi-host counterpart of save_checkpoint for cross-process-sharded
+    state (FSDP/TP): a host snapshot (np.asarray) of such an array is
+    impossible, so the shards are written collectively in place. `root`
+    must be visible to every process (the standard orbax multihost
+    contract — the reference's torch resume assumes shared storage too).
+    COLLECTIVE: every process must call it with the same pytree."""
+    os.makedirs(root, exist_ok=True)
+    path = _ckpt_path(root, f"epoch_{epoch}")
+    _collective_save(path, state)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "extra": extra or {},
+                       "sharded": True}, f)
+        if is_latest:
+            tmp = _ckpt_path(root, "epoch_latest.tmp")
+            latest = _ckpt_path(root, "epoch_latest")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            shutil.copytree(path, tmp)
+            if os.path.exists(latest):
+                shutil.rmtree(latest)
+            os.replace(tmp, latest)
+    return path
+
+
+def save_best_sharded(root: str, state: Any, epoch: int,
+                      metric: float) -> Optional[str]:
+    """save_best for cross-process-sharded state. The improved/not decision
+    is taken on rank 0 (sole reader/writer of best.json) and broadcast so
+    every process agrees on whether to enter the collective save."""
+    best_meta = os.path.join(root, "best.json")
+    improved = None
+    if jax.process_index() == 0:
+        prev = -float("inf")
+        if os.path.exists(best_meta):
+            with open(best_meta) as f:
+                prev = json.load(f)["metric"]
+        improved = bool(metric > prev)
+    if jax.process_count() > 1:
+        from vitlens_tpu.parallel.mesh import broadcast_object
+
+        improved = bool(broadcast_object(improved))
+    if not improved:
+        return None
+    path = _ckpt_path(root, "checkpoint_best")
+    _collective_save(path, state)
+    if jax.process_index() == 0:
+        with open(best_meta, "w") as f:
+            json.dump({"metric": metric, "epoch": epoch}, f)
+    return path
+
+
+def load_checkpoint_sharded(path: str, target: Any, *,
+                            ckpt_only: bool = False) -> Any:
+    """Restore a collective checkpoint onto `target`'s shardings: every
+    leaf comes back as a jax.Array laid out exactly like the target leaf
+    (FSDP/TP/replicated — orbax reshards on read), so restore happens
+    AFTER fsdp_place/replicate, unlike the host-numpy load_checkpoint.
+    COLLECTIVE: every process must call it."""
+    import orbax.checkpoint as ocp
+
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), abstract)
+    if ckpt_only and hasattr(target, "params"):
+        import dataclasses
+
+        return dataclasses.replace(
+            target, params=restored.params, model_state=restored.model_state
+        )
+    return restored
+
+
+# ---------------------------------------------------------------------------
 # async saving
 # ---------------------------------------------------------------------------
 
