@@ -408,11 +408,16 @@ def main(argv=None) -> int:
     # launched single-process
     from vitlens_tpu.parallel.mesh import init_distributed
 
-    init_distributed()
+    pid = init_distributed()
     name = args.name or f"{args.modality}_{args.model}_{time.strftime('%Y%m%d_%H%M%S')}"
     log_dir = os.path.join(args.logs, name)
-    setup_logging(os.path.join(log_dir, "out.log"))
-    dump_params(log_dir, vars(args))
+    # rank 0 owns out.log/params.txt (reference is_master gating,
+    # training/logger.py); other ranks log to a per-rank file so a shared
+    # log dir never interleaves
+    setup_logging(os.path.join(
+        log_dir, "out.log" if pid == 0 else f"out.rank{pid}.log"))
+    if pid == 0:
+        dump_params(log_dir, vars(args))
 
     from vitlens_tpu.text.tokenizer import get_tokenizer
 
