@@ -16,6 +16,20 @@ if REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402
 
+# The suite is CPU-pinned by design; initializing backends below would
+# still CONTACT the TPU tunnel (axon registers via sitecustomize, and a
+# wedged remote-compile service then stalls pytest startup for 20+ min —
+# observed 2026-08-17). Deregister the axon factory before the first
+# backend touch so pytest never dials the tunnel at all.
+try:  # non-public API; harmless if absent
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("axon"):
+        jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 _CPU = jax.local_devices(backend="cpu")[0]
 jax.config.update("jax_default_device", _CPU)
 # Parity tests compare against fp64-accumulated torch CPU math.

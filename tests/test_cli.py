@@ -354,3 +354,70 @@ def test_train_cli_video_real_data_fixture(tmp_path, monkeypatch):
     assert train and np.isfinite(train[-1]["train/loss"])
     assert train[-1]["train/grad_norm"] > 0
     assert any("r1" in k for r in recs for k in r), recs
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-train (the TPU-pod eviction notice): the driver
+    checkpoints at the next step boundary (preempt_step_N + epoch_latest
+    mirror), exits 0, and a --resume latest run continues the incomplete
+    epoch. Subprocess because signals need a real process. Beyond the
+    reference (no preemption handling there)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = repo
+    env["PALLAS_AXON_POOL_IPS"] = ""  # CPU-only: keep off the tunnel chip
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, "-m", "vitlens_tpu.cli.train",
+           "--modality", "eeg", "--model", "ViT-Tiny-Test",
+           "--dataset-type", "synthetic", "--train-data", "synthetic",
+           "--train-num-samples", "16", "--batch-size", "2",
+           "--warmup", "1", "--precision", "fp32", "--n-tower", "3",
+           "--log-every-n-steps", "1", "--epochs", "500",
+           "--logs", str(tmp_path), "--name", "pre"]
+    run_dir = tmp_path / "pre"
+    # child stderr goes to a FILE: with a PIPE nobody drains, the child
+    # blocks on the 64K pipe buffer mid-epoch (verbose jax/orbax logging)
+    errf = tmp_path / "child_err.txt"
+    with open(errf, "w") as ef:
+        p = subprocess.Popen(cmd, env=env, cwd=repo,
+                             stdout=subprocess.DEVNULL, stderr=ef)
+        try:
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                if (run_dir / "results.jsonl").exists():
+                    break
+                if p.poll() is not None:
+                    break
+                time.sleep(0.5)
+            assert p.poll() is None, (
+                f"train exited early: {errf.read_text()[-2000:]}")
+            p.send_signal(signal.SIGTERM)
+            p.wait(timeout=180)
+        finally:
+            if p.poll() is None:
+                p.kill()
+    assert p.returncode == 0, f"stderr={errf.read_text()[-2000:]}"
+    log = (run_dir / "out.log").read_text()
+    assert "SIGTERM: checkpointing at step" in log, log[-2000:]
+    ckpts = run_dir / "checkpoints"
+    pre = [d for d in os.listdir(ckpts) if d.startswith("preempt_step_")]
+    assert pre, os.listdir(ckpts)
+    from vitlens_tpu.train import checkpoint as C
+
+    latest = C.get_latest_checkpoint(str(ckpts))
+    meta = C.load_meta(latest)
+    assert meta["extra"]["preempt_step"] >= 1
+
+    # argparse keeps the LAST occurrence: the appended --epochs wins
+    r = subprocess.run(
+        cmd + ["--epochs", str(meta["epoch"] + 1), "--resume", "latest"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    log = (run_dir / "out.log").read_text()
+    assert "resumed from" in log, log[-2000:]

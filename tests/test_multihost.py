@@ -105,19 +105,25 @@ def _run_cli_pair(tmp_path, extra, port):
            "--fsdp", "--save-frequency", "1", "--save-most-recent",
            "--log-every-n-steps", "1",
            "--logs", str(tmp_path), "--name", "mh"] + extra
+    # stderr to files, not pipes: an undrained pipe blocks a rank mid-run
+    # (64K buffer), deadlocking the other rank inside a collective
+    errfs = [tmp_path / f"cli_err_{r}.txt" for r in range(2)]
+    handles = [open(f, "w") for f in errfs]
     procs = [subprocess.Popen(cmd, env=_worker_env(r, port), cwd=REPO_ROOT,
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.PIPE, text=True)
-             for r in range(2)]
+                              stdout=subprocess.DEVNULL, stderr=h)
+             for r, h in zip(range(2), handles)]
     outs = []
     try:
-        for p in procs:
-            out, err = p.communicate(timeout=420)
-            outs.append((p.returncode, out, err))
+        for p, f in zip(procs, errfs):
+            p.wait(timeout=420)
+            outs.append((p.returncode, "", f.read_text()))
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
         pytest.skip("multi-host CLI workers timed out")
+    finally:
+        for h in handles:
+            h.close()
     for rc, out, err in outs:
         if rc != 0 and ("UNAVAILABLE" in err or "failed to connect" in err
                         or "Address already in use" in err

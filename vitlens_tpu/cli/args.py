@@ -98,6 +98,12 @@ class TrainArgs:
     profile_steps: int = 0
     remote_sync: Optional[str] = None
     remote_sync_frequency: int = 300
+    # preemption-safe training (TPU pods are preemptible): on SIGTERM the
+    # driver checkpoints at the next step boundary (tagged `preempt`,
+    # mirrored to epoch_latest so --resume latest picks it up) and exits
+    # cleanly. Multi-host ranks agree via all_gather every N steps;
+    # 0 disables the handler. Beyond the reference (no equivalent).
+    preempt_sync_every: int = 1
 
     # parallelism
     n_devices: Optional[int] = None   # default all

@@ -590,9 +590,35 @@ def main(argv=None) -> int:
                      "collective orbax path (synchronous, every host "
                      "writes its shards)")
 
+    # preemption-safe training (beyond the reference): TPU pods deliver
+    # SIGTERM with a grace window before eviction; checkpoint at the next
+    # step boundary and exit cleanly so --resume latest continues the run
+    got_sigterm = {"flag": False}
+    if args.preempt_sync_every > 0:
+        import signal
+
+        def _on_sigterm(signum, frame):
+            got_sigterm["flag"] = True
+
+        try:  # only valid in the main thread; no-op elsewhere
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass
+
+    def _preempt_agreed() -> bool:
+        if n_procs == 1:
+            return got_sigterm["flag"]
+        # ranks may receive SIGTERM at different times (or only some do
+        # under scale-down): agree collectively so every rank enters the
+        # save — or none does
+        from vitlens_tpu.parallel.mesh import all_gather_object
+
+        return any(bool(f) for f in all_gather_object(got_sigterm["flag"]))
+
     rng = jax.random.PRNGKey(args.seed)
     global_step = int(np.asarray(ts.step))
     trace_active = False
+    preempted = False
     for epoch in range(start_epoch, args.epochs):
         train_info.set_epoch(epoch)
         if args.input_prefetch:
@@ -633,6 +659,31 @@ def main(argv=None) -> int:
                     logging.info(
                         f"epoch {epoch} step {global_step}: "
                         + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            if (args.preempt_sync_every > 0
+                    and global_step % args.preempt_sync_every == 0
+                    and _preempt_agreed()):
+                logging.info(f"SIGTERM: checkpointing at step {global_step} "
+                             f"(epoch {epoch} incomplete) and exiting")
+                tag = f"preempt_step_{global_step}"
+                extra = {"preempt_step": global_step}
+                # meta epoch = completed epochs -> resume restarts this one
+                if not can_snapshot:
+                    C.save_checkpoint_sharded(ckpt_dir, ts, epoch,
+                                              is_latest=True, extra=extra,
+                                              tag=tag)
+                elif is_rank0:
+                    # through the saver queue: an epoch-end save may be
+                    # in flight on the worker, and two concurrent writers
+                    # race on the epoch_latest tmp+rename dance
+                    host = jax.tree.map(np.asarray, ts)
+                    saver.submit(lambda s=host, e=epoch:
+                                 C.save_checkpoint(ckpt_dir, s, e,
+                                                   is_latest=True,
+                                                   extra=extra, tag=tag))
+                preempted = True
+                break
+        if preempted:
+            break
         # end epoch: eval + ckpt (host snapshot is synchronous — it decouples
         # from donated device buffers — the disk write happens on the saver
         # worker so the next epoch starts immediately)

@@ -45,11 +45,13 @@ def save_checkpoint(
     is_latest: bool = True,
     best_metric: Optional[float] = None,
     extra: Optional[Dict] = None,
+    tag: Optional[str] = None,
 ) -> str:
-    """Save `state` (any pytree, e.g. TrainState) under epoch_{N}; update
-    epoch_latest atomically via tmp+rename (audio_main.py:590-597)."""
+    """Save `state` (any pytree, e.g. TrainState) under epoch_{N} (or
+    `tag`, e.g. a mid-epoch preemption snapshot); update epoch_latest
+    atomically via tmp+rename (audio_main.py:590-597)."""
     os.makedirs(root, exist_ok=True)
-    path = _ckpt_path(root, f"epoch_{epoch}")
+    path = _ckpt_path(root, tag or f"epoch_{epoch}")
     _save_tree(path, state)
     meta = {"epoch": epoch, "extra": extra or {}}
     if best_metric is not None:
@@ -215,6 +217,7 @@ def save_checkpoint_sharded(
     *,
     is_latest: bool = True,
     extra: Optional[Dict] = None,
+    tag: Optional[str] = None,
 ) -> str:
     """Multi-host counterpart of save_checkpoint for cross-process-sharded
     state (FSDP/TP): a host snapshot (np.asarray) of such an array is
@@ -223,7 +226,7 @@ def save_checkpoint_sharded(
     contract — the reference's torch resume assumes shared storage too).
     COLLECTIVE: every process must call it with the same pytree."""
     os.makedirs(root, exist_ok=True)
-    path = _ckpt_path(root, f"epoch_{epoch}")
+    path = _ckpt_path(root, tag or f"epoch_{epoch}")
     _collective_save(path, state)
     if jax.process_index() == 0:
         with open(os.path.join(path, "meta.json"), "w") as f:
