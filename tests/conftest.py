@@ -30,6 +30,19 @@ try:  # non-public API; harmless if absent
 except Exception:
     pass
 
+# XLA:CPU AOT executables cached by a PREVIOUS session on a different
+# host CPU model abort/SIGILL when loaded here (cpu_aot_loader warns
+# "machine type doesn't match"; observed as a flaky SIGABRT in the
+# test_cli TP step — this VM lands on heterogeneous hardware across
+# sessions). Tests compile small CPU graphs: disable the persistent
+# cache in-process (cli.train sets only the cache DIR, so this sticks)
+# and point subprocess children at a fresh per-session dir.
+import tempfile  # noqa: E402
+
+jax.config.update("jax_enable_compilation_cache", False)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+    prefix="jaxcache_pytest_")
+
 _CPU = jax.local_devices(backend="cpu")[0]
 jax.config.update("jax_default_device", _CPU)
 # Parity tests compare against fp64-accumulated torch CPU math.
