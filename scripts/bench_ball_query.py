@@ -15,6 +15,12 @@ Values are unique int32 indices cast to fp32 (max 10240 < 2^24: exactly
 representable, so exact variants stay bit-identical to top_k).
 
 Run: timeout 900 python scripts/bench_ball_query.py
+
+NB the 2026-08-17 figures in CLAUDE.md were taken at ITERS=30 (below the
+repo's >=200 rule for sub-5 ms ops); the end-to-end bigG A/B
+(scripts/bench_bigG_ball_ab.py: 193.6 -> 124.9 ms/batch, a ~69 ms saving
+matching the predicted ~70 ms) independently confirms the approx-ball
+cost is ~2 ms/batch. Default ITERS is now 200.
 """
 
 from __future__ import annotations
@@ -34,14 +40,10 @@ import jax.numpy as jnp
 
 B, S, N, K = 16, 512, 10000, 64
 RADIUS = 0.2
-ITERS = int(os.environ.get("BENCH_ITERS", "30"))
+ITERS = int(os.environ.get("BENCH_ITERS", "200"))
 
 
-def square_distance(a, b):
-    # matches ops/fps.py::square_distance
-    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
-    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    return a2 - 2.0 * jnp.einsum("bsc,bnc->bsn", a, b) + jnp.swapaxes(b2, -1, -2)
+from vitlens_tpu.ops.fps import square_distance  # noqa: E402
 
 
 def make_cand(query, xyz):

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 
 def main() -> int:
@@ -138,8 +139,14 @@ def main() -> int:
             for sa, sb in zip(a.addressable_shards, b.addressable_shards):
                 ckpt_ok &= bool(np.array_equal(np.asarray(sa.data),
                                                np.asarray(sb.data)))
-        ckpt_ok = bool(ckpt_ok
-                       and C.load_meta(path).get("sharded") is True)
+        # rank 0 writes meta.json AFTER the collective-save barrier
+        # releases everyone — poll briefly so non-zero ranks don't race it
+        deadline = time.time() + 30
+        meta = C.load_meta(path)
+        while not meta and time.time() < deadline:
+            time.sleep(0.2)
+            meta = C.load_meta(path)
+        ckpt_ok = bool(ckpt_ok and meta.get("sharded") is True)
 
     print("MULTIHOST_OK " + json.dumps({
         "rank": pid, "loss": round(loss, 6), "grad_norm": round(grad_norm, 6),

@@ -37,11 +37,14 @@ except Exception:
 # sessions). Tests compile small CPU graphs: disable the persistent
 # cache in-process (cli.train sets only the cache DIR, so this sticks)
 # and point subprocess children at a fresh per-session dir.
+import atexit  # noqa: E402
+import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
 jax.config.update("jax_enable_compilation_cache", False)
-os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
-    prefix="jaxcache_pytest_")
+_cache_dir = tempfile.mkdtemp(prefix="jaxcache_pytest_")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
+atexit.register(shutil.rmtree, _cache_dir, True)
 
 _CPU = jax.local_devices(backend="cpu")[0]
 jax.config.update("jax_default_device", _CPU)

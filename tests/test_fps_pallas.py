@@ -61,3 +61,47 @@ def test_fps_padding_for_unaligned_n(monkeypatch):
     want = F._fps_indices_xla(xyz, 32, start)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert int(np.asarray(got).max()) < 250
+
+
+def test_ball_query_approx_branch_matches_exact():
+    """The TPU-default approx branch (ball_query exact=False) never runs
+    under the CPU-pinned suite via the exact=None auto-gate — execute it
+    explicitly. Candidate values are unique int32 indices, so at
+    recall_target=1.0 approx_min_k is bit-exact vs the top_k path; the
+    0.95 path must still return only in-ball (or fill) indices, ascending,
+    with the same fill semantics."""
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.randn(2, 300, 3) * 0.3, jnp.float32)
+    query = xyz[:, rng.choice(300, 64, replace=False), :]
+    want = np.asarray(F.ball_query(xyz, query, 0.35, 16, exact=True))
+    got = np.asarray(F.ball_query(xyz, query, 0.35, 16, exact=False,
+                                  recall_target=1.0))
+    np.testing.assert_array_equal(got, want)
+
+    got95 = np.asarray(F.ball_query(xyz, query, 0.35, 16, exact=False))
+    d = np.asarray(F.square_distance(query, xyz))
+    in_ball = d <= 0.35 ** 2
+    B, S, _ = got95.shape
+    for b in range(B):
+        for s_ in range(S):
+            sel = got95[b, s_]
+            assert ((sel >= 0) & (sel < 300)).all()
+            # every selected slot is an in-ball point (fill repeats the
+            # first in-ball index, which is itself in-ball); the query
+            # point itself is always within its own ball
+            assert in_ball[b, s_][sel].all()
+
+
+def test_knn_indices_approx_branch_runs():
+    """Same gap for kNN: exact=False path executed on CPU; recall 1.0 via
+    a generous recall_target is not guaranteed bit-stable here, so just
+    check shape/validity and high agreement with exact."""
+    rng = np.random.RandomState(1)
+    xyz = jnp.asarray(rng.randn(2, 200, 3), jnp.float32)
+    center = xyz[:, rng.choice(200, 32, replace=False), :]
+    exact = np.asarray(F.knn_indices(xyz, center, 8, exact=True))
+    approx = np.asarray(F.knn_indices(xyz, center, 8, exact=False))
+    assert approx.shape == exact.shape
+    assert ((approx >= 0) & (approx < 200)).all()
+    agree = float((np.sort(approx, -1) == np.sort(exact, -1)).mean())
+    assert agree > 0.9, agree

@@ -143,7 +143,11 @@ def test_two_process_cli_fsdp_train_save_resume(tmp_path):
     run_dir = tmp_path / "mh"
     _run_cli_pair(tmp_path, ["--epochs", "1"], _free_port())
     ckpts = run_dir / "checkpoints"
-    assert (ckpts / "epoch_1").exists() and (ckpts / "epoch_latest").exists()
+    assert (ckpts / "epoch_1").exists()
+    # sharded saves record latest via a pointer file, not a full copy
+    from vitlens_tpu.train import checkpoint as C
+
+    assert C.get_latest_checkpoint(str(ckpts)).endswith("epoch_1")
     meta = json.loads((ckpts / "epoch_1" / "meta.json").read_text())
     assert meta.get("sharded") is True
     # rank0 owns out.log; rank1 logged to its own file (no interleaving)

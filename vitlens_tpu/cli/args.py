@@ -101,9 +101,11 @@ class TrainArgs:
     # preemption-safe training (TPU pods are preemptible): on SIGTERM the
     # driver checkpoints at the next step boundary (tagged `preempt`,
     # mirrored to epoch_latest so --resume latest picks it up) and exits
-    # cleanly. Multi-host ranks agree via all_gather every N steps;
-    # 0 disables the handler. Beyond the reference (no equivalent).
-    preempt_sync_every: int = 1
+    # cleanly. Single-process checks the flag every step (free); multi-host
+    # ranks agree via all_gather every N steps (2 host round-trips — keep
+    # off the hot path; preemption grace windows are 30 s+). 0 disables.
+    # Beyond the reference (no equivalent).
+    preempt_sync_every: int = 25
 
     # parallelism
     n_devices: Optional[int] = None   # default all

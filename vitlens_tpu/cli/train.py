@@ -510,7 +510,8 @@ def main(argv=None) -> int:
         flat = {(os.path.basename(k) if os.path.sep in k else k):
                 _primary_metric({k: v}) for k, v in results.items()}
         flat.update(_flatten_results(results))
-        MetricsWriter(log_dir).log(flat, 0, "val")
+        if is_rank0:  # one appender to the shared results.jsonl
+            MetricsWriter(log_dir).log(flat, 0, "val")
         return 0
 
     steps_per_epoch = train_info.num_batches
@@ -659,8 +660,12 @@ def main(argv=None) -> int:
                     logging.info(
                         f"epoch {epoch} step {global_step}: "
                         + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            # single-process: the flag check is free, test every step;
+            # multi-host: the agreement is 2 host-blocking allgathers, so
+            # only every preempt_sync_every steps
             if (args.preempt_sync_every > 0
-                    and global_step % args.preempt_sync_every == 0
+                    and (n_procs == 1
+                         or global_step % args.preempt_sync_every == 0)
                     and _preempt_agreed()):
                 logging.info(f"SIGTERM: checkpointing at step {global_step} "
                              f"(epoch {epoch} incomplete) and exiting")

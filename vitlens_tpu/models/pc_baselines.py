@@ -114,6 +114,7 @@ def sa_apply(
     group_all: bool, train: bool = False,
     fps_start: Optional[jnp.ndarray] = None, fps_key=None,
     bn_axis_name: Optional[str] = None,
+    knn_exact: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
     """PointNetSetAbstraction.forward (pointnet_util.py:186-213),
     channel-last. Returns (new_xyz [B,S,3], feat [B,S,C'], state)."""
@@ -128,7 +129,7 @@ def sa_apply(
     else:
         idx_fps = fps_indices(xyz, npoint, start=fps_start, key=fps_key)
         new_xyz = _take(xyz, idx_fps)
-        idx = ball_query(xyz, new_xyz, radius, nsample)
+        idx = ball_query(xyz, new_xyz, radius, nsample, exact=knn_exact)
         grouped_xyz = _take(xyz, idx) - new_xyz[:, :, None, :]
         if points is not None:
             # sample_and_group (pointnet_util.py:139-143): xyz-norm FIRST
@@ -158,6 +159,7 @@ def sa_msg_apply(
     nsample_list: Sequence[int], train: bool = False,
     fps_start: Optional[jnp.ndarray] = None, fps_key=None,
     bn_axis_name: Optional[str] = None,
+    knn_exact: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
     """PointNetSetAbstractionMsg.forward (pointnet_util.py:234-274)."""
     idx_fps = fps_indices(xyz, npoint, start=fps_start, key=fps_key)
@@ -165,7 +167,7 @@ def sa_msg_apply(
     feats, new_states = [], []
     for branch_p, branch_s, radius, k in zip(
             p["branches"], s["branches"], radius_list, nsample_list):
-        idx = ball_query(xyz, new_xyz, radius, k)
+        idx = ball_query(xyz, new_xyz, radius, k, exact=knn_exact)
         grouped_xyz = _take(xyz, idx) - new_xyz[:, :, None, :]
         if points is not None:
             # MSG concatenates points FIRST, xyz-norm second
@@ -268,6 +270,7 @@ def ppat_apply(
     scaling: int, train: bool = False, patch_dropout: int = 0,
     fps_start: Optional[jnp.ndarray] = None, fps_key=None,
     bn_axis_name: Optional[str] = None,
+    knn_exact: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, State]:
     """PointPatchTransformer + Projected head (ppat.py:99-121).
 
@@ -279,7 +282,8 @@ def ppat_apply(
     centroids, feat, sa_s = sa_apply(
         p["sa"], s["sa"], xyz, features, npoint=npoint, radius=cfg["prad"],
         nsample=cfg["nsamp"], group_all=False, train=train,
-        fps_start=fps_start, fps_key=fps_key, bn_axis_name=bn_axis_name)
+        fps_start=fps_start, fps_key=fps_key, bn_axis_name=bn_axis_name,
+        knn_exact=knn_exact)
 
     lifted = jnp.concatenate([centroids.astype(feat.dtype), feat], -1)
     lifted = (lifted @ p["lift"]["conv"]["w"].astype(feat.dtype)
@@ -400,6 +404,7 @@ def pointnet2_apply(
     p: Params, s: State, xyz: jnp.ndarray, normal_channel: bool = True,
     train: bool = False, fps_start: Optional[jnp.ndarray] = None,
     fps_key=None, bn_axis_name: Optional[str] = None,
+    knn_exact: Optional[bool] = None,
 ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], State]:
     """get_model.forward (pointnet2.py:22-40). xyz [B,N,3(+3 normals)]
     channel-last -> (log_softmax logits [B,num_class], l3 feat [B,1024])."""
@@ -408,11 +413,13 @@ def pointnet2_apply(
     l1_xyz, l1_feat, sa1_s = sa_msg_apply(
         p["sa1"], s["sa1"], coords, points, npoint=512,
         radius_list=[0.1, 0.2, 0.4], nsample_list=[16, 32, 128], train=train,
-        fps_start=fps_start, fps_key=fps_key, bn_axis_name=bn_axis_name)
+        fps_start=fps_start, fps_key=fps_key, bn_axis_name=bn_axis_name,
+        knn_exact=knn_exact)
     l2_xyz, l2_feat, sa2_s = sa_msg_apply(
         p["sa2"], s["sa2"], l1_xyz, l1_feat, npoint=128,
         radius_list=[0.2, 0.4, 0.8], nsample_list=[32, 64, 128], train=train,
-        fps_start=fps_start, fps_key=fps_key, bn_axis_name=bn_axis_name)
+        fps_start=fps_start, fps_key=fps_key, bn_axis_name=bn_axis_name,
+        knn_exact=knn_exact)
     _, l3_feat, sa3_s = sa_apply(
         p["sa3"], s["sa3"], l2_xyz, l2_feat, npoint=None, radius=None,
         nsample=None, group_all=True, train=train, bn_axis_name=bn_axis_name)

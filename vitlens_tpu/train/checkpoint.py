@@ -94,6 +94,12 @@ def get_latest_checkpoint(root: str) -> Optional[str]:
     latest = _ckpt_path(root, "epoch_latest")
     if os.path.isdir(latest):
         return latest
+    pointer = os.path.join(root, "latest.json")  # sharded saves (no copy)
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            p = os.path.join(root, json.load(f)["tag"])
+        if os.path.isdir(p):
+            return p
     cands = []
     for p in glob.glob(os.path.join(root, "epoch_*")):
         m = re.match(r".*epoch_(\d+)$", p)
@@ -233,14 +239,15 @@ def save_checkpoint_sharded(
             json.dump({"epoch": epoch, "extra": extra or {},
                        "sharded": True}, f)
         if is_latest:
-            tmp = _ckpt_path(root, "epoch_latest.tmp")
-            latest = _ckpt_path(root, "epoch_latest")
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            shutil.copytree(path, tmp)
-            if os.path.exists(latest):
-                shutil.rmtree(latest)
-            os.replace(tmp, latest)
+            # a POINTER, not a copy: sharded checkpoints hold every host's
+            # shards (multi-GB at bigG scale) and this runs on the training
+            # critical path while other ranks wait at the next collective.
+            # get_latest_checkpoint resolves latest.json when epoch_latest
+            # is absent; tmp+rename keeps the update atomic.
+            tmp = os.path.join(root, "latest.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"tag": os.path.basename(path)}, f)
+            os.replace(tmp, os.path.join(root, "latest.json"))
     return path
 
 
