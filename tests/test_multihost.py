@@ -50,23 +50,32 @@ def _worker_env(rank: int, port: int, ckpt_dir: str = "") -> dict:
 def test_two_process_mesh_step_and_metric_merge(tmp_path):
     port = _free_port()
     ckpt_dir = str(tmp_path / "mh_ckpt")  # shared across both ranks
+    # stdout/stderr to FILES, never pipes (CLAUDE.md): the jax/orbax INFO
+    # flood fills a 64K pipe while this process drains ranks sequentially,
+    # blocking the chatty rank mid-collective and deadlocking the pair
+    outfs = [tmp_path / f"w_out_{r}.txt" for r in range(2)]
+    errfs = [tmp_path / f"w_err_{r}.txt" for r in range(2)]
+    handles = [(open(o, "w"), open(e, "w")) for o, e in zip(outfs, errfs)]
     procs = [
         subprocess.Popen([sys.executable, WORKER],
                          env=_worker_env(r, port, ckpt_dir),
-                         cwd=REPO_ROOT, stdout=subprocess.PIPE,
-                         stderr=subprocess.PIPE, text=True)
-        for r in range(2)
+                         cwd=REPO_ROOT, stdout=ho, stderr=he)
+        for r, (ho, he) in zip(range(2), handles)
     ]
     outs = []
     try:
-        for p in procs:
-            out, err = p.communicate(timeout=420)
-            outs.append((p.returncode, out, err))
+        for p, o, e in zip(procs, outfs, errfs):
+            p.wait(timeout=420)
+            outs.append((p.returncode, o.read_text(), e.read_text()))
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
         pytest.skip("multi-host workers timed out (coordinator/gloo "
                     "unavailable in this environment)")
+    finally:
+        for ho, he in handles:
+            ho.close()
+            he.close()
 
     for rc, out, err in outs:
         if rc != 0 and ("UNAVAILABLE" in err or "failed to connect" in err
@@ -163,3 +172,39 @@ def test_two_process_cli_fsdp_train_save_resume(tmp_path):
     log = (run_dir / "out.log").read_text()
     assert "resumed (sharded) from" in log, log[-2000:]
     assert (ckpts / "epoch_2").exists()
+
+
+def test_two_process_cli_eval_sharded_over_global_mesh(tmp_path):
+    """In-training eval on a mesh that SPANS processes (cli/train.py
+    evaluate): encode batches are assembled with
+    make_array_from_callback over the global data axis and feature
+    outputs land replicated (out_shardings) so every rank can fetch them
+    — the np.asarray-on-non-addressable crash this guards against only
+    exists cross-process, which no single-host test can reach."""
+    import numpy as np
+    from PIL import Image
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rows = ["filepath\ttitle"]
+    for i in range(8):
+        p = imgs / f"{i}.jpg"
+        Image.fromarray((np.random.RandomState(i).rand(64, 64, 3) * 255
+                         ).astype(np.uint8)).save(p)
+        rows.append(f"{p}\ta photo number {i}")
+    data = tmp_path / "data.tsv"
+    data.write_text("\n".join(rows) + "\n")
+
+    run_dir = tmp_path / "mh"
+    _run_cli_pair(tmp_path, [
+        "--modality", "image", "--force-image-size", "224",
+        "--dataset-type", "csv", "--train-data", str(data),
+        "--val-data", str(data), "--csv-separator", "\t",
+        "--batch-size", "4", "--epochs", "1", "--val-frequency", "1",
+        "--n-tower", "2", "--align-to", "clip",
+        "--no-lock-image", "--no-lock-text",
+    ], _free_port())
+    rec = json.loads(
+        (run_dir / "results.jsonl").read_text().splitlines()[-1])
+    assert "val/data.tsv/image_to_text_R@1" in rec
+    assert np.isfinite(rec["val/data.tsv/clip_val_loss"])

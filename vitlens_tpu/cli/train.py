@@ -18,6 +18,7 @@ import logging
 import os
 import sys
 import time
+from functools import partial
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -219,37 +220,55 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer,
 
     compute_dtype = _dtype(args)
 
+    _jit_kw = {}
     if mesh is not None:
-        from vitlens_tpu.parallel.mesh import data_sharding, replicated
+        from vitlens_tpu.parallel.mesh import (
+            _spans_processes, data_sharding, replicated,
+        )
 
-        # host arrays -> replicate onto the mesh once; arrays already placed
-        # (e.g. FSDP-sharded train params) keep their sharding — GSPMD
-        # inserts the gathers inside the jit
+        _spans = _spans_processes(mesh)
+        # host arrays -> replicate onto the mesh once (replicate() handles
+        # meshes spanning processes); arrays already placed (e.g.
+        # FSDP-sharded train params) keep their sharding — GSPMD inserts
+        # the gathers inside the jit
         def _place(t):
             return jax.tree.map(
                 lambda x: x if isinstance(x, jax.Array)
-                else jax.device_put(x, replicated(mesh)), t)
+                else replicate(mesh, x), t)
 
         params, model_state = _place(params), _place(model_state)
         _dsh = data_sharding(mesh)
         _ndata = mesh.shape["data"]
+        # features must land replicated: on a multi-host mesh an output
+        # sharded over `data` spans non-addressable devices and
+        # np.asarray would raise; the forced all-gather is the same data
+        # movement the host fetch needs anyway
+        _jit_kw = {"out_shardings": replicated(mesh)}
 
     def _shard_rows(x: np.ndarray):
-        """Pad the batch dim to a multiple of the data axis and shard."""
+        """Pad the batch dim to a multiple of the data axis and shard.
+
+        Every rank iterates the SAME val loader (shuffle=False, no rank
+        sharding), so on a spans-process mesh each process contributes the
+        rows of its own addressable shards out of the identical full
+        batch."""
         pad = (-len(x)) % _ndata
         if pad:
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        if _spans:
+            return jax.make_array_from_callback(
+                x.shape, _dsh, lambda i: x[i])
         return jax.device_put(x, _dsh)
 
     # params/state are explicit jit args (donating them to a closure would
     # bake the weights into the jaxpr as constants and re-trace every epoch)
-    @jax.jit
+    @partial(jax.jit, **_jit_kw)
     def enc_vis(p, s, x):
         feats, _ = tri.encode_visual(p, s, x, cfg, normalize=False,
                                      compute_dtype=compute_dtype)
         return feats
 
-    @jax.jit
+    @partial(jax.jit, **_jit_kw)
     def enc_txt(p, toks):
         return tri.encode_text(p, toks, cfg, normalize=False,
                                compute_dtype=compute_dtype)
@@ -264,7 +283,10 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer,
         return out[: len(x)]
 
     def encode_text(toks):
-        return np.asarray(enc_txt(params, jnp.asarray(toks)), np.float32)
+        # np, not jnp.asarray: a committed local array would clash with
+        # params living on a spans-process mesh (numpy inputs are placed
+        # replicated by the jit; identical on every rank)
+        return np.asarray(enc_txt(params, np.asarray(toks)), np.float32)
 
     results = {}
     for spec in args.val_data.split("::"):
@@ -277,7 +299,7 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer,
             info = build_loader(ds, batch_size=args.batch_size, shuffle=False,
                                 num_workers=args.workers, drop_last=False)
 
-            @jax.jit
+            @partial(jax.jit, **_jit_kw)
             def enc_img(p, s, x):
                 return tri.encode_image(p, s, x, cfg, normalize=True,
                                         compute_dtype=compute_dtype)
@@ -289,7 +311,7 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer,
                 img_feats.append(np.asarray(
                     enc_img(params, model_state, ix), np.float32)[: len(img)])
                 txt_feats.append(np.asarray(
-                    enc_txt(params, jnp.asarray(b["text"])), np.float32))
+                    enc_txt(params, np.asarray(b["text"])), np.float32))
             tf = np.concatenate(txt_feats)
             tf /= np.maximum(np.linalg.norm(tf, axis=1, keepdims=True), 1e-12)
             out = clip_val_metrics(np.concatenate(img_feats), tf)
@@ -393,6 +415,24 @@ def _flatten_results(results: Dict[str, Dict]) -> Dict[str, float]:
 
 
 def main(argv=None) -> int:
+    """CLI entry point. Wraps the driver so the process-global SIGTERM
+    handler the preemption path installs is always restored — in-process
+    callers (pytest, embedding apps) must not lose graceful-shutdown-by-
+    SIGTERM after a train run returns."""
+    import signal
+
+    prev_sigterm = signal.getsignal(signal.SIGTERM)
+    try:
+        return _main(argv)
+    finally:
+        try:  # signal() is main-thread-only; elsewhere nothing was installed
+            if signal.getsignal(signal.SIGTERM) is not prev_sigterm:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+        except (ValueError, TypeError):
+            pass
+
+
+def _main(argv=None) -> int:
     args = parse_args(argv)
     try:  # persistent compilation cache (first TPU compiles are expensive)
         jax.config.update(
@@ -410,6 +450,14 @@ def main(argv=None) -> int:
 
     pid = init_distributed()
     name = args.name or f"{args.modality}_{args.model}_{time.strftime('%Y%m%d_%H%M%S')}"
+    if not args.name and jax.distributed.is_initialized():
+        # the timestamp is PER-RANK: a second boundary or clock skew would
+        # split the run across different log/ckpt dirs and turn the
+        # collective sharded save into per-host writes into different
+        # roots — agree on rank 0's name
+        from vitlens_tpu.parallel.mesh import broadcast_object
+
+        name = broadcast_object(name)
     log_dir = os.path.join(args.logs, name)
     # rank 0 owns out.log/params.txt (reference is_master gating,
     # training/logger.py); other ranks log to a per-rank file so a shared
@@ -692,7 +740,11 @@ def main(argv=None) -> int:
         # end epoch: eval + ckpt (host snapshot is synchronous — it decouples
         # from donated device buffers — the disk write happens on the saver
         # worker so the next epoch starts immediately)
-        host_ts = jax.tree.map(np.asarray, ts) if can_snapshot else None
+        # only rank 0 consumes the snapshot (save_best/save_checkpoint are
+        # both rank-0-gated below): skip the multi-GB device->host fetch on
+        # worker ranks
+        host_ts = (jax.tree.map(np.asarray, ts)
+                   if can_snapshot and is_rank0 else None)
         if args.val_data and (epoch + 1) % args.val_frequency == 0:
             # device-resident train params go straight into the eval jits
             # (no host round-trip); under a mesh the encode batches shard

@@ -630,16 +630,16 @@ class ObjaverseDataset:
 
     def _bucket_len(self, i: int) -> int:
         path = self.buckets[i]
-        if self._lmdb is not None and not os.path.isdir(path):
-            env = self._lmdb.open(path, readonly=True, lock=False)
-            with env.begin() as txn:
-                n = txn.stat()["entries"]
-            self._envs[i] = env
-            return n
-        if os.path.isdir(path):
+        if os.path.isdir(path):  # pickle-per-entry fixture layout
             return len([f for f in os.listdir(path) if f.endswith(".pkl")])
-        raise RuntimeError(
-            f"bucket {path} is an LMDB file but the lmdb package is missing")
+        # LMDB file: self._lmdb is always importable (the pure-Python
+        # reader backs the ImportError branch) and open() raises its own
+        # clear error for a path that is not an LMDB database
+        env = self._lmdb.open(path, readonly=True, lock=False)
+        with env.begin() as txn:
+            n = txn.stat()["entries"]
+        self._envs[i] = env
+        return n
 
     def __len__(self):
         return int(self.cumulative[-1]) if len(self.cumulative) else 0

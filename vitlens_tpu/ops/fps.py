@@ -327,10 +327,24 @@ def ball_query(
         exact = not _flash_available()
     k = min(nsample, N)
     if exact or N >= 2 ** 24:
-        cand = -jax.lax.top_k(-cand, k)[0]
+        sel = -jax.lax.top_k(-cand, k)[0]
+        # top_k is exact: slot 0 is the true minimum candidate (= first
+        # in-ball index when the ball is non-empty)
+        first = sel[..., :1]
     else:
         vals, _ = jax.lax.approx_min_k(cand.astype(jnp.float32), k,
                                        recall_target=recall_target)
-        cand = vals.astype(jnp.int32)
-    first = cand[..., :1]
-    return jnp.where(cand == N, first, cand).astype(jnp.int32)
+        sel = vals.astype(jnp.int32)
+        # approx_min_k can miss EVERY in-ball candidate for a sparse ball
+        # (~(1-recall)^m for m in-ball points), which would leave slot 0
+        # at the out-of-ball sentinel N and let the fill index run out of
+        # bounds (gathers clamp to N-1: an arbitrary far point would join
+        # the group). Recompute the fill exactly: min over all candidates
+        # IS the reference's group_first (first in-ball index), one cheap
+        # reduce over the already-materialized candidate tensor.
+        first = jnp.min(cand, axis=-1, keepdims=True)
+    # a genuinely empty ball (no in-ball point at all) cannot happen for
+    # FPS-center queries (the center itself is at distance 0), but clamp
+    # so the degenerate case indexes in-bounds instead of UB
+    first = jnp.minimum(first, N - 1)
+    return jnp.where(sel == N, first, sel).astype(jnp.int32)

@@ -90,16 +90,24 @@ def save_best(root: str, state: Any, epoch: int, metric: float) -> Optional[str]
 
 def get_latest_checkpoint(root: str) -> Optional[str]:
     """Newest epoch checkpoint (reference get_latest_checkpoint
-    audio_main.py:63-83): epoch_latest if present, else highest epoch_N."""
+    audio_main.py:63-83): epoch_latest / the latest.json pointer (sharded
+    saves write a pointer, not a copy) if present, else highest epoch_N.
+
+    A run dir can hold BOTH markers (e.g. single-host epochs followed by a
+    multi-host --fsdp continuation): resolve to whichever was written last,
+    otherwise a stale epoch_latest would silently replay old epochs."""
+    cands_marked = []
     latest = _ckpt_path(root, "epoch_latest")
     if os.path.isdir(latest):
-        return latest
+        cands_marked.append((os.path.getmtime(latest), latest))
     pointer = os.path.join(root, "latest.json")  # sharded saves (no copy)
     if os.path.exists(pointer):
         with open(pointer) as f:
             p = os.path.join(root, json.load(f)["tag"])
         if os.path.isdir(p):
-            return p
+            cands_marked.append((os.path.getmtime(pointer), p))
+    if cands_marked:
+        return max(cands_marked)[1]
     cands = []
     for p in glob.glob(os.path.join(root, "epoch_*")):
         m = re.match(r".*epoch_(\d+)$", p)
