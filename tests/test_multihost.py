@@ -208,3 +208,18 @@ def test_two_process_cli_eval_sharded_over_global_mesh(tmp_path):
         (run_dir / "results.jsonl").read_text().splitlines()[-1])
     assert "val/data.tsv/image_to_text_R@1" in rec
     assert np.isfinite(rec["val/data.tsv/clip_val_loss"])
+
+
+def test_init_distributed_refuses_worldsize_without_addr(monkeypatch):
+    """WORLD_SIZE>1 with no MASTER_ADDR/COORDINATOR_ADDRESS must raise,
+    not silently run N independent single-host jobs (duplicated data,
+    clobbered checkpoints)."""
+    from vitlens_tpu.parallel.mesh import init_distributed
+
+    for var in ("MASTER_ADDR", "MASTER_PORT", "COORDINATOR_ADDRESS",
+                "SLURM_NTASKS", "SLURM_PROCID"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    monkeypatch.setenv("RANK", "0")
+    with pytest.raises(RuntimeError, match="MASTER_ADDR"):
+        init_distributed()

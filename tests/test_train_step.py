@@ -201,3 +201,37 @@ def test_accum_freq_matches_full_batch(setup):
     # scale of one update (lr=1e-3).
     for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_accum_freq_video_distill_matches_full_batch():
+    """accum_freq + video_distill: the cached-splice must carry the token
+    grids too (the distill_token loss consumes visual_tokens/image_tokens;
+    a features-only merge KeyErrors at trace time), and the per-pass sum
+    must still equal the full-batch gradient — distill is per-sample, so
+    stop-gradient'd other-micro-batch tokens contribute nothing."""
+    from vitlens_tpu.config import make_model_config
+
+    cfg = make_model_config("ViT-Tiny-Test", "video")
+    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
+    tx, mask = make_optimizer(
+        params, OptimizerConfig(lr=1e-3, warmup=1, total_steps=100))
+    rng = np.random.RandomState(7)
+    T = cfg.tower.video.n_frames
+    H = cfg.vision.image_size
+    frames = rng.randn(4, T, 3, H, H).astype(np.float32)
+    text = np.zeros((4, cfg.text.context_length), np.int32)
+    text[:, 0], text[:, 1] = 1, 49
+    batch = {"image": jnp.asarray(frames), "text": jnp.asarray(text),
+             "visual": jnp.asarray(frames)}
+
+    common = dict(n_tower=3, contra_loss_type="distill_token",
+                  video_distill=True, local_loss=False,
+                  compute_dtype=jnp.float32, sync_bn=False)
+    s1 = make_train_step(cfg, tx, mask, StepConfig(accum_freq=1, **common))
+    s2 = make_train_step(cfg, tx, mask, StepConfig(accum_freq=2, **common))
+    t1, m1 = s1(init_train_state(params, state, tx), batch, None)
+    t2, m2 = s2(init_train_state(params, state, tx), batch, None)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -28,7 +28,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vitlens_tpu.parallel.mesh import DATA_AXIS
+from vitlens_tpu.parallel.mesh import DATA_AXIS, path_str as _path_str
 
 MIN_ELEMS = 4096  # below this, replication is cheaper than the collectives
 
@@ -73,11 +73,6 @@ def shardings_of(tree: Any) -> Any:
     return jax.tree.map(lambda l: l.sharding, tree)
 
 
-def _path_str(path) -> str:
-    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                    for p in path)
-
-
 def fsdp_tp_shardings(ts: Any, mesh: Mesh, *,
                       tp_towers=("visual",),
                       min_elems: int = MIN_ELEMS) -> Any:
@@ -104,7 +99,10 @@ def fsdp_tp_shardings(ts: Any, mesh: Mesh, *,
     def override(path, sh):
         ps = _path_str(path)
         for suf, spec in suffix_specs.items():
-            if ps.endswith(suf):
+            # boundary-aware suffix: a tower merely ENDING in another
+            # tower's name (e.g. "audio_visual" vs "visual") must not
+            # inherit its TP specs
+            if ps == suf or ps.endswith("/" + suf):
                 return NamedSharding(mesh, spec)
         return sh
 

@@ -43,7 +43,15 @@ def init_distributed() -> int:
     env = os.environ
     addr = env.get("COORDINATOR_ADDRESS")
     nproc = pid = None
-    if env.get("WORLD_SIZE", "1") not in ("", "1") and env.get("MASTER_ADDR"):
+    if env.get("WORLD_SIZE", "1") not in ("", "1"):
+        # WORLD_SIZE>1 is an explicit multi-host request: a missing
+        # MASTER_ADDR must be LOUD, not a silent fall-through to N
+        # independent single-host jobs (duplicated data, clobbered ckpts)
+        if not (addr or env.get("MASTER_ADDR")):
+            raise RuntimeError(
+                f"WORLD_SIZE={env['WORLD_SIZE']} but neither MASTER_ADDR "
+                "nor COORDINATOR_ADDRESS is set — cannot bootstrap the "
+                "distributed runtime")
         addr = addr or (f"{env['MASTER_ADDR']}:"
                         f"{env.get('MASTER_PORT', '29500')}")
         nproc, pid = int(env["WORLD_SIZE"]), int(env["RANK"])
@@ -95,6 +103,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def _spans_processes(mesh: Mesh) -> bool:
     me = jax.process_index()
     return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def path_str(path) -> str:
+    """Stringify a tree_flatten_with_path key path as a/b/c (shared by the
+    TP/FSDP spec matchers — both sides MUST produce identical strings)."""
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
 
 
 def shard_batch(mesh: Mesh, batch):

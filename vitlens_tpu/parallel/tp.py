@@ -27,7 +27,7 @@ from typing import Any, Dict
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vitlens_tpu.parallel.mesh import MODEL_AXIS
+from vitlens_tpu.parallel.mesh import MODEL_AXIS, path_str as _path_str
 
 Params = Dict[str, Any]
 
@@ -59,10 +59,6 @@ def vision_tower_specs(params: Params) -> Params:
     specs = dict(specs)
     specs["trunk"] = {"blocks": blocks_specs}
     return specs
-
-
-def _path_str(path) -> str:
-    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
 
 
 def shard_vision_tower(params: Params, mesh: Mesh) -> Params:

@@ -269,7 +269,6 @@ def make_train_step(
     _flat_trainable = [
         bool(jnp.any(m > 0)) for m in jax.tree.leaves(trainable_mask)
     ]
-    _treedef = None  # captured on first use
 
     def _split_trainable(params):
         leaves, treedef = jax.tree.flatten(params)
@@ -311,6 +310,11 @@ def make_train_step(
         all micro-batches, then per micro-batch recompute with grads and
         splice the cached features of the others as negatives."""
         A = sc.accum_freq
+        b_local = jax.tree.leaves(batch)[0].shape[0]
+        if b_local % A != 0:
+            raise ValueError(
+                f"per-shard batch {b_local} is not divisible by "
+                f"accum_freq {A} (pick A dividing batch_size/n_data)")
 
         def split(x):
             return x.reshape((A, x.shape[0] // A) + x.shape[1:])
@@ -326,26 +330,36 @@ def make_train_step(
                                         jax.random.fold_in(fps_key, i))
             cached.append({k: jax.lax.stop_gradient(v) for k, v in out.items()})
 
-        feature_keys = [k for k in cached[0] if k.endswith("_features")]
+        # _tokens too: the distill_token loss consumes per-sample token
+        # grids (losses.py make_loss_fn); it decomposes per sample, so
+        # splicing stop_gradient'd other-micro-batch tokens is exact
+        merge_keys = [k for k in cached[0]
+                      if k.endswith("_features") or k.endswith("_tokens")]
         loss_total = 0.0
-        grads_total = jax.tree.map(jnp.zeros_like, params)
+        # differentiate the TRAINABLE subset only, like micro_grads —
+        # full-tree value_and_grad would materialise zero grads for the
+        # frozen towers (~GBs) on exactly the memory-constrained runs
+        # accum_freq exists for
+        train0, frozen0, treedef0 = _split_trainable(params)
+        tg_total = [jnp.zeros_like(l) for l in train0]
         for i in range(A):
             bi = jax.tree.map(lambda x: x[i], mb)
 
-            def loss_of(p):
+            def loss_of(train_leaves):
+                p = _merge_trainable(train_leaves, frozen0, treedef0)
                 out_i, _ = _forward_features(
                     _stopped(p), model_state, bi, model_cfg, sc, ax, True,
                     None if fps_key is None else jax.random.fold_in(fps_key, i))
                 merged = {"logit_scale": out_i["logit_scale"]}
-                for k in feature_keys:
+                for k in merge_keys:
                     rows = [cached[j][k] if j != i else out_i[k] for j in range(A)]
                     merged[k] = jnp.concatenate(rows, axis=0)
-                big_batch = dict(batch)
-                return _loss_from_features(merged, big_batch, sc, ax)
+                return _loss_from_features(merged, batch, sc, ax)
 
-            li, gi = jax.value_and_grad(loss_of)(params)
+            li, tg = jax.value_and_grad(loss_of)(train0)
             loss_total = loss_total + li
-            grads_total = jax.tree.map(jnp.add, grads_total, gi)
+            tg_total = [a + g for a, g in zip(tg_total, tg)]
+        grads_total = _grads_to_tree(tg_total, params)
         # NO 1/accum scaling: each micro pass differentiates only its own
         # micro-batch inside the full-batch loss, so the SUM of pass grads is
         # exactly the full-batch gradient (reference train.py:176-210 calls
@@ -427,6 +441,13 @@ def make_train_step(
     repl = P()
 
     def sharded(state, batch, fps_key):
+        # out_specs P() claims a replicated TrainState; with sync_bn=False
+        # on a BN-bearing tower the per-device BN running stats diverge
+        # (exactly torch DDP-without-SyncBN semantics) and check_vma=False
+        # suppresses the replication check on purpose: host fetches read
+        # shard 0 (= the reference's rank-0 checkpoint), and each device
+        # keeps evolving its OWN stats across steps. Everything else
+        # (params, opt state) is genuinely replicated via the psum'd grads.
         return shard_map(
             step_fn,
             mesh=mesh,
