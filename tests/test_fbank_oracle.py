@@ -128,3 +128,15 @@ def test_fbank_fixed_length_normalization_matches():
     want = (padded - mean) / std
     got = np.asarray(fbank_fixed_length(jnp.asarray(wave), target_length=target))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+def test_fbank_rejects_subwindow_waveform():
+    """A clip shorter than one 25 ms window must raise (torchaudio
+    parity), not silently produce a [B, 0, mel] map that fixed-length
+    padding turns into constant features."""
+    import pytest
+
+    from vitlens_tpu.ops.fbank import fbank
+
+    with pytest.raises(ValueError, match="too short"):
+        fbank(jnp.zeros((2, 399), jnp.float32))

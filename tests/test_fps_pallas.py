@@ -105,3 +105,25 @@ def test_knn_indices_approx_branch_runs():
     assert ((approx >= 0) & (approx < 200)).all()
     agree = float((np.sort(approx, -1) == np.sort(exact, -1)).mean())
     assert agree > 0.9, agree
+
+
+def test_ball_query_fills_to_nsample_when_n_small():
+    """nsample > N must still return nsample columns (reference
+    query_ball_point always fills by repeating group_first)."""
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.randn(2, 12, 3) * 0.2, jnp.float32)
+    out = np.asarray(F.ball_query(xyz, xyz[:, :4], 0.5, 16, exact=True))
+    assert out.shape == (2, 4, 16)
+    assert ((out >= 0) & (out < 12)).all()
+    d = np.asarray(F.square_distance(xyz[:, :4], xyz))
+    for b in range(2):
+        for s_ in range(4):
+            assert (d[b, s_][out[b, s_]] <= 0.5 ** 2).all()
+
+
+def test_fps_indices_rejects_non_xyz_channels():
+    """C != 3 would silently diverge between the XLA recurrence (all C
+    channels) and the Pallas kernels (first 3) — must raise."""
+    xyz6 = jnp.zeros((2, 64, 6), jnp.float32)
+    with pytest.raises(ValueError, match="xyz"):
+        F.fps_indices(xyz6, 8)

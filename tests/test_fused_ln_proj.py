@@ -76,7 +76,7 @@ def test_env_opt_in(monkeypatch):
     """The op is opt-in (measured e2e loss at the flagship shape): off by
     default even where the flash kernel is available."""
     monkeypatch.setattr(
-        "vitlens_tpu.ops.attention._flash_available", lambda: True)
+        "vitlens_tpu.ops.platform.is_tpu_default", lambda: True)
     monkeypatch.delenv("VITLENS_ENABLE_FUSED_LNQKV", raising=False)
     assert not FL.fused_ln_proj_available()
     monkeypatch.setenv("VITLENS_ENABLE_FUSED_LNQKV", "1")

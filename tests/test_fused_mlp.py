@@ -107,7 +107,7 @@ def test_resblock_dispatch_gating():
 def test_env_kill_switch(monkeypatch):
     monkeypatch.setenv("VITLENS_DISABLE_FUSED_MLP", "1")
     monkeypatch.setattr(
-        "vitlens_tpu.ops.attention._flash_available", lambda: True)
+        "vitlens_tpu.ops.platform.is_tpu_default", lambda: True)
     assert not FM.fused_mlp_available()
     monkeypatch.delenv("VITLENS_DISABLE_FUSED_MLP")
     assert FM.fused_mlp_available()
@@ -133,7 +133,7 @@ def test_programmatic_tp_kill_switch(monkeypatch):
     """TP placement must disable the kernel without relying on the env var
     (GSPMD cannot shard through the opaque custom call)."""
     monkeypatch.setattr(
-        "vitlens_tpu.ops.attention._flash_available", lambda: True)
+        "vitlens_tpu.ops.platform.is_tpu_default", lambda: True)
     monkeypatch.delenv("VITLENS_DISABLE_FUSED_MLP", raising=False)
     assert FM.fused_mlp_available()
     FM.set_fused_mlp_enabled(False)

@@ -1,10 +1,10 @@
 """Attention ops.
 
 Single entry point `dot_product_attention` used by every tower (ViT trunk,
-text tower, perceiver Lens). On TPU the hot path lowers to a fused Pallas
-flash-attention kernel; everywhere else (CPU tests, tiny shapes) it uses a
-plain XLA einsum path, which XLA fuses well for the short sequences this
-framework sees (77-600 tokens).
+text tower, perceiver Lens). The HOT path is the plain XLA einsum — XLA's
+fused attention wins for the short sequences every ViT-Lens tower sees
+(77-600 tokens; measured crossover at KV ~4096, CLAUDE.md). The Pallas
+flash kernel engages automatically only at KV >= 4096 on TPU.
 
 Replaces the reference's torch.nn.MultiheadAttention / xformers
 memory_efficient_attention usage (reference: open_clip/transformer.py:214,
@@ -49,10 +49,13 @@ def dot_product_attention(
     Args:
       q: [B, H, Nq, Dh]
       k, v: [B, H, Nk, Dh]
-      mask: optional additive mask broadcastable to [B, H, Nq, Nk]
+      mask: optional additive mask broadcastable to [B, H, Nq, Nk].
+        NB a mask always takes the XLA path — the kernel has no mask
+        support, so `use_flash=True` is ignored when mask is not None.
       scale: defaults to Dh ** -0.5
-      use_flash: force/disable the Pallas kernel; default = auto (TPU and
-        shapes large enough to benefit).
+      use_flash: force/disable the Pallas kernel (masked calls excepted,
+        see above); default = auto (TPU and shapes large enough to
+        benefit).
     Returns [B, H, Nq, Dh].
     """
     if scale is None:
@@ -76,17 +79,10 @@ def dot_product_attention(
 
 
 def _flash_available() -> bool:
-    """Pallas path only when tracing for a TPU backend. jax_default_device
-    (used by CPU tests even when a TPU plugin is registered) is respected —
-    jax.default_backend() alone reports the highest-priority platform and
-    would wrongly enable the kernel for CPU-pinned computations."""
-    try:
-        dd = jax.config.jax_default_device
-        if dd is not None:
-            return getattr(dd, "platform", None) == "tpu"
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    """Back-compat alias; the shared predicate lives in ops/platform.py."""
+    from vitlens_tpu.ops.platform import is_tpu_default
+
+    return is_tpu_default()
 
 
 def causal_mask(n: int, dtype=jnp.float32) -> jnp.ndarray:

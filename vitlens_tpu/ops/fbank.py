@@ -85,6 +85,13 @@ def fbank(
     shift = int(sample_frequency * frame_shift_ms / 1000)
     padded = _next_pow2(win)
     num_frames = 1 + (T - win) // shift  # snip_edges=True
+    if num_frames <= 0:
+        # torchaudio's kaldi.fbank raises here too; silently returning
+        # [B, 0, mel] would let fbank_fixed_length zero-pad a truncated/
+        # corrupt clip into a constant feature map the model then encodes
+        raise ValueError(
+            f"waveform too short for one {frame_length_ms:g} ms window: "
+            f"T={T} samples < win={win} at {sample_frequency:g} Hz")
 
     x = waveform.astype(jnp.float32)
     # strided frames [B, num_frames, win]

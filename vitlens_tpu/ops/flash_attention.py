@@ -53,9 +53,16 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, nk_valid: in
 def _fused_attention_fwd_impl(q, k, v, scale: float) -> jnp.ndarray:
     B, H, NQ, D = q.shape
     NK = k.shape[2]
-    TQ = min(_round_up(NQ, 8), 512)
-    nq_pad = _round_up(NQ, TQ)
     nk_pad = _round_up(NK, 128)
+    # single-pass design: the fp32 scores/exp/probs are [TQ, nk_pad] each,
+    # so VMEM grows linearly with NK — shrink the q-tile to keep those
+    # three buffers within ~32 MB of the 64 MB scoped-VMEM budget below
+    # (TQ stays 512 through NK=4096, the measured-crossover shape; 336 at
+    # 8192, 168 at 16384 — correct at any NK instead of a Mosaic
+    # allocation failure).
+    tq_cap = max(8, (32 * 1024 * 1024 // (nk_pad * 12)) // 8 * 8)
+    TQ = min(_round_up(NQ, 8), 512, tq_cap)
+    nq_pad = _round_up(NQ, TQ)
     dp = _round_up(D, 128)
 
     qf = jnp.pad(q.reshape(B * H, NQ, D), ((0, 0), (0, nq_pad - NQ), (0, dp - D)))
@@ -81,6 +88,11 @@ def _fused_attention_fwd_impl(q, k, v, scale: float) -> jnp.ndarray:
             flops=4 * B * H * nq_pad * nk_pad * dp,
             bytes_accessed=(B * H) * (nq_pad * dp + 2 * nk_pad * dp + nq_pad * dp) * 2,
             transcendentals=B * H * nq_pad * nk_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # same budget as ops/fused_mlp.py: 16 MB default is too tight
+            # for the K/V block + fp32 score intermediates at NK >= 4096
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(qf, kf, vf)
     return out[:, :NQ, :D].reshape(B, H, NQ, D)

@@ -55,7 +55,15 @@ def fps_indices(
     faster than the lax.fori_loop lowering, which round-trips HBM and pays
     per-iteration overheads x npoint).
     """
-    B, N, _ = xyz.shape
+    B, N, C = xyz.shape
+    if C != 3:
+        # LOUD: the XLA recurrence would use all C channels while the
+        # Pallas kernels read only the first 3 — a C>3 caller would get
+        # silently different selections on CPU vs TPU. Reference FPS is
+        # xyz-only (pointnet2_utils.furthest_point_sample); slice first.
+        raise ValueError(
+            f"fps_indices expects xyz [B, N, 3]; got {xyz.shape} — pass "
+            "coordinates only (xyz[..., :3])")
     if start is None:
         if key is not None:
             start = jax.random.randint(key, (B,), 0, N)
@@ -65,9 +73,9 @@ def fps_indices(
     xyz = xyz.astype(jnp.float32)
 
     if use_pallas is None:
-        from vitlens_tpu.ops.attention import _flash_available
+        from vitlens_tpu.ops.platform import is_tpu_default
 
-        use_pallas = _flash_available()
+        use_pallas = is_tpu_default()
     if use_pallas:
         if N % 128 != 0:
             # pad to the lane width with copies of point 0: a duplicate has
@@ -248,9 +256,9 @@ def knn_indices(xyz: jnp.ndarray, query: jnp.ndarray, k: int,
     bit-parity with the reference."""
     d = square_distance(query, xyz)  # [B, S, N]
     if exact is None:
-        from vitlens_tpu.ops.attention import _flash_available
+        from vitlens_tpu.ops.platform import is_tpu_default
 
-        exact = not _flash_available()
+        exact = not is_tpu_default()
     if exact:
         _, idx = jax.lax.top_k(-d, k)
     else:
@@ -317,14 +325,12 @@ def ball_query(
     in_ball = d <= radius ** 2
     # Candidate indices: in-ball points keep their original index order,
     # out-of-ball points are pushed to the end (index set to N).
-    arange = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
-    )
+    arange = jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2)
     cand = jnp.where(in_ball, arange, N)
     if exact is None:
-        from vitlens_tpu.ops.attention import _flash_available
+        from vitlens_tpu.ops.platform import is_tpu_default
 
-        exact = not _flash_available()
+        exact = not is_tpu_default()
     k = min(nsample, N)
     if exact or N >= 2 ** 24:
         sel = -jax.lax.top_k(-cand, k)[0]
@@ -347,4 +353,11 @@ def ball_query(
     # FPS-center queries (the center itself is at distance 0), but clamp
     # so the degenerate case indexes in-bounds instead of UB
     first = jnp.minimum(first, N - 1)
-    return jnp.where(sel == N, first, sel).astype(jnp.int32)
+    sel = jnp.where(sel == N, first, sel).astype(jnp.int32)
+    if k < nsample:
+        # nsample > N: the reference always returns nsample columns,
+        # repeating group_first for the missing slots (query_ball_point)
+        sel = jnp.concatenate(
+            [sel, jnp.broadcast_to(first.astype(jnp.int32),
+                                   (B, S, nsample - k))], axis=-1)
+    return sel

@@ -141,9 +141,9 @@ def fused_ln_proj_available() -> bool:
     # (see module docstring) even though the isolated op wins 7%
     if not os.environ.get("VITLENS_ENABLE_FUSED_LNQKV"):
         return False
-    from vitlens_tpu.ops.attention import _flash_available
+    from vitlens_tpu.ops.platform import is_tpu_default
 
-    return _flash_available()
+    return is_tpu_default()
 
 
 def fused_ln_proj_applicable(x: jnp.ndarray, w: jnp.ndarray) -> bool:

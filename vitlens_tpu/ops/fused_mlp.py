@@ -244,9 +244,9 @@ def fused_mlp_available() -> bool:
 
     if _FORCE_DISABLED or os.environ.get("VITLENS_DISABLE_FUSED_MLP"):
         return False
-    from vitlens_tpu.ops.attention import _flash_available
+    from vitlens_tpu.ops.platform import is_tpu_default
 
-    return _flash_available()
+    return is_tpu_default()
 
 
 def fused_mlp_applicable(x: jnp.ndarray, p: Params, act_name: str) -> bool:
