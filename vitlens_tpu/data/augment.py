@@ -60,7 +60,10 @@ def rotate_perturbation(pc: np.ndarray, rng, angle_sigma=0.06,
     rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
     ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
     rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-    return (pc @ (rz @ ry @ rx).T.astype(np.float32))
+    # reference right-multiplies the UNtransposed composite: pc @ (Rz@Ry@Rx)
+    # (modal_3d/datasets.py:201-203); a .T here would apply the inverse
+    # rotation and break seeded parity with the reference aug chain
+    return (pc @ (rz @ ry @ rx).astype(np.float32))
 
 
 def train_point_transform(pc: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
@@ -76,21 +79,28 @@ def train_point_transform(pc: np.ndarray, rng: np.random.RandomState) -> np.ndar
 
 def spec_augment(fbank: np.ndarray, rng: np.random.RandomState,
                  freq_mask: int = 48, time_mask: int = 192,
-                 noise: bool = True, roll: bool = True) -> np.ndarray:
+                 noise: bool = True, roll: bool = True,
+                 mask_value: float = 0.0) -> np.ndarray:
     """fbank [T, F] -> masked/noised/rolled. Mirrors the reference train
     transform (at_processor.py:336-362): FrequencyMasking/TimeMasking on the
     [F, T] view, then uniform noise scaled by U(0,1)/10, then time roll in
-    [-10, 10) frames."""
+    [-10, 10) frames.
+
+    mask_value: the reference masks the RAW fbank to 0 BEFORE Normalize,
+    so on an already-normalized fbank (our on-device pipeline normalizes
+    inside fbank_fixed_length) callers must pass the post-norm zero,
+    (0 - mean) / std — e.g. +0.934 for the AST stats — or masked bins
+    land at the dataset mean instead of the reference's constant."""
     out = fbank.copy()
     T, F = out.shape
     if freq_mask > 0:
         f = rng.randint(0, freq_mask + 1)
         f0 = rng.randint(0, max(F - f, 1))
-        out[:, f0:f0 + f] = 0
+        out[:, f0:f0 + f] = mask_value
     if time_mask > 0:
         t = rng.randint(0, time_mask + 1)
         t0 = rng.randint(0, max(T - t, 1))
-        out[t0:t0 + t, :] = 0
+        out[t0:t0 + t, :] = mask_value
     if noise:
         out = out + (rng.random_sample((T, F)).astype(out.dtype)
                      * (rng.random_sample() / 10.0))

@@ -22,6 +22,8 @@ from typing import Any, List, Optional
 
 import numpy as np
 
+from vitlens_tpu.data.rng import ThreadLocalRNG
+
 from vitlens_tpu.data import augment as A
 from vitlens_tpu.data import processors as P
 from vitlens_tpu.eval import metadata as MD
@@ -107,7 +109,7 @@ class AudioClsDataset:
         self.proc = P.AudioProcessor(n_clip=self.n_clip, **(proc_kwargs or {}))
         self.freq_mask, self.time_mask = freq_mask, time_mask
         self.noise_aug = noise_aug
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
 
     def __len__(self):
         return len(self.annotation)
@@ -140,13 +142,17 @@ class AudioClsDataset:
                 j = int(self.rng.randint(0, len(self.annotation)))
                 wf2 = self._load_wf(self.annotation[j])
                 wf, lam = A.waveform_mixup(wf, wf2, self.rng)
-                targets = lam * targets + (1 - lam) * self._labels_multihot(
-                    self.annotation[j])
+                # reference target is the binary UNION of both clips'
+                # labels (all ones — datasets.py:387-392), NOT lam-weighted
+                # soft targets; lam only mixes the waveforms
+                targets = np.maximum(
+                    targets, self._labels_multihot(self.annotation[j]))
             fb = self.proc.process_waveform(wf, self.proc.sr, rng=self.rng,
                                             random_clip=True)[0]
             fb = A.spec_augment(fb, self.rng, freq_mask=self.freq_mask,
                                 time_mask=self.time_mask,
-                                noise=self.noise_aug)
+                                noise=self.noise_aug,
+                                mask_value=-self.proc.mean / self.proc.std)
             label_ids = np.where(targets > 0.5)[0]
             name = self.classnames[int(label_ids[0])] if len(label_ids) else ""
             t_idx = self.rng.randint(0, len(self.templates))
@@ -196,7 +202,7 @@ class AudioRetrievalDataset:
         self.train = train
         if train:
             n_clip = 1
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
         self.freq_mask, self.time_mask = freq_mask, time_mask
         self.noise_aug = noise_aug
         # texts: mapping id -> list[str] or flat list of [id, caption]
@@ -208,10 +214,14 @@ class AudioRetrievalDataset:
                     self.texts.append(c)
                     self.text_ids.append(int(k))
         else:
+            # list form is "aligned with rows": text i belongs to row i,
+            # whose retrieval id is the TSV uniq_id — NOT the enumeration
+            # index (audio items carry uniq_id, and Recall matches on it)
             for i, caps in enumerate(texts):
+                tid = int(self.rows[i][0]) if i < len(self.rows) else i
                 for c in (caps if isinstance(caps, list) else [caps]):
                     self.texts.append(c)
-                    self.text_ids.append(i)
+                    self.text_ids.append(tid)
         self.data_root = data_root or _env_root("AUDIO")
         self.proc = P.AudioProcessor(n_clip=n_clip, **(proc_kwargs or {}))
 
@@ -232,7 +242,8 @@ class AudioRetrievalDataset:
                                             random_clip=True)[0]
             fb = A.spec_augment(fb, self.rng, freq_mask=self.freq_mask,
                                 time_mask=self.time_mask,
-                                noise=self.noise_aug)
+                                noise=self.noise_aug,
+                                mask_value=-self.proc.mean / self.proc.std)
             caption = row[2] if len(row) > 2 else ""
             return {"id": uniq_id, "audio": fb, "caption_str": caption}
         x = self.proc([path])[0]
@@ -272,7 +283,7 @@ class RGBDDataset:
         self.data_root = data_root or _env_root("DEPTH")
         self.depth_proc = P.DepthProcessor(image_size=image_size)
         self.image_proc = P.ImageProcessor(image_size=image_size)
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
 
     def __len__(self):
         return len(self.annotation)
@@ -348,7 +359,7 @@ class TAGDataset:
         self.data_root = data_root or _env_root("TACTILE")
         self.proc = P.TactileProcessor(image_size=image_size)
         self.image_proc = P.ImageProcessor(image_size=image_size)
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
 
     def __len__(self):
         return len(self.annotation)
@@ -625,7 +636,7 @@ class ObjaverseDataset:
         self.counts = [self._bucket_len(i) for i in range(len(self.buckets))]
         self.cumulative = np.cumsum(self.counts)
         self.augment = augment
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
         self.image_size = image_size
 
     def _bucket_len(self, i: int) -> int:
@@ -694,7 +705,7 @@ class PCTripletDataset:
         self.npoints = npoints
         self.augment = augment
         self.templates = MD.load_pc_templates(prompt_set)
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
         self.image_proc = P.ImageProcessor(image_size=image_size)
 
     def __len__(self):

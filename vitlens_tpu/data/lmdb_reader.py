@@ -227,7 +227,12 @@ class Environment:
                 "overflow_pages": m.overflow_pages, "entries": m.entries}
 
     def close(self):
-        self._data = b""
+        data, self._data = self._data, b""
+        if hasattr(data, "close"):
+            try:  # mmap: release the mapping now, not at GC
+                data.close()
+            except BufferError:  # exported memoryviews still alive
+                pass
 
     def __enter__(self):
         return self

@@ -21,6 +21,8 @@ from fractions import Fraction
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+from vitlens_tpu.data.rng import ThreadLocalRNG
 from PIL import Image
 
 from vitlens_tpu.config import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
@@ -140,7 +142,7 @@ class TrainImageProcessor(ImageProcessor):
         if isinstance(aug_cfg, dict):
             aug_cfg = AugmentationCfg(**aug_cfg)
         self.aug = aug_cfg or AugmentationCfg()
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
 
     def process_pil(self, img: Image.Image) -> np.ndarray:
         from vitlens_tpu.data.augment import train_image_transform

@@ -19,6 +19,8 @@ import os
 from typing import Callable, List, Optional
 
 import numpy as np
+
+from vitlens_tpu.data.rng import ThreadLocalRNG
 from PIL import Image
 
 from vitlens_tpu.config import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
@@ -96,7 +98,7 @@ class VideoProcessor:
         self.mean = mean or OPENAI_DATASET_MEAN
         self.std = std or OPENAI_DATASET_STD
         self.train = train
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
         self.decode_fn = decode_fn
         self.three_crop = three_crop
 
@@ -128,15 +130,16 @@ class VideoProcessor:
             ]
             return np.stack(out)
         if self.three_crop:
-            crops = []
-            for ci in range(3):
-                crop_frames = [
-                    _to_chw_norm(spatial_three_crop(f, self.size)[ci],
-                                 self.mean, self.std)
-                    for f in picked
-                ]
-                crops.append(np.stack(crop_frames))
-            return np.stack(crops)  # [3, T, 3, S, S]
+            # resize + crop each frame ONCE, then regroup by crop index
+            per_frame = [
+                [_to_chw_norm(c, self.mean, self.std)
+                 for c in spatial_three_crop(f, self.size)]
+                for f in picked
+            ]
+            return np.stack([
+                np.stack([per_frame[fi][ci] for fi in range(len(picked))])
+                for ci in range(3)
+            ])  # [3, T, 3, S, S]
         out = []
         for f in picked:
             f = _resize_smaller(f, self.size)
