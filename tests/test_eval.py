@@ -183,3 +183,34 @@ def test_clip_val_metrics_matches_reference():
     for k, v in want.items():
         assert abs(got[k] - float(v)) < 1e-6, k
     assert np.isfinite(got["clip_val_loss"])
+
+
+def test_ap_matches_sklearn_with_ties():
+    """Tied scores must form ONE threshold (sklearn semantics): a
+    per-sample cumsum would make AP depend on input order whenever scores
+    collide (quantized/saturated logits)."""
+    from sklearn.metrics import average_precision_score
+
+    from vitlens_tpu.eval.metrics import average_precision
+
+    rng = np.random.RandomState(0)
+    for _ in range(100):
+        n = rng.randint(2, 40)
+        t = (rng.rand(n) < 0.4).astype(float)
+        if t.sum() == 0:
+            continue
+        s = np.round(rng.rand(n), 1)  # heavy ties
+        np.testing.assert_allclose(
+            average_precision(t, s), average_precision_score(t, s),
+            atol=1e-12)
+    # order independence on a full tie
+    a = average_precision(np.array([1.0, 0.0]), np.array([1.0, 1.0]))
+    b = average_precision(np.array([0.0, 1.0]), np.array([1.0, 1.0]))
+    assert a == b == 0.5
+
+
+def test_map_merge_results_empty():
+    from vitlens_tpu.eval.metrics import MAP
+
+    out = MAP().merge_results()
+    assert out["map"] == 0.0 and out["map_cnt"] == 0

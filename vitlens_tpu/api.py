@@ -158,6 +158,14 @@ class ViTLens:
                 entry["params"] = convert_text_tower(sd, cfg.text.layers)
             elif any(k.startswith("text.") for k in sd):
                 entry["params"] = convert_text_tower(sub(sd, "text."), cfg.text.layers)
+            else:
+                # LOUD: returning here would silently serve random-init
+                # text weights (normalized embeddings that look plausible)
+                sample = sorted(sd)[:5]
+                raise ValueError(
+                    f"checkpoint {path!r} matches no known text-tower "
+                    f"layout (no 'token_embedding.weight', no 'text.' "
+                    f"prefix); first keys: {sample}")
         else:
             prefix = "image." if (entry["kind"] == "image" and
                                   any(k.startswith("image.") for k in sd)) else "visual."

@@ -314,7 +314,11 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer,
                     enc_txt(params, np.asarray(b["text"])), np.float32))
             tf = np.concatenate(txt_feats)
             tf /= np.maximum(np.linalg.norm(tf, axis=1, keepdims=True), 1e-12)
-            out = clip_val_metrics(np.concatenate(img_feats), tf)
+            # the model's LEARNED scale, not a constant (reference scales
+            # val logits with logit_scale.exp(), train.py:790)
+            ls = float(np.exp(np.asarray(params["logit_scale"])))
+            out = clip_val_metrics(np.concatenate(img_feats), tf,
+                                   logit_scale=ls)
             results[spec] = out
             logging.info(f"eval[{spec}]: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in out.items()))
@@ -332,18 +336,23 @@ def evaluate(args: TrainArgs, params, model_state, cfg, tokenizer,
                        b.get("targets", b.get("label")))
                 yield np.asarray(b["id"]), np.asarray(b[vk]), np.asarray(tgt)
 
+        # distributed=False: every rank iterates the FULL val set in
+        # lockstep (the collective encode jits require it), so the metric
+        # classes' cross-process merge would count each sample n_procs
+        # times and deflate retrieval R@K (duplicate gallery entries)
         if metric == "recall":
             out = retrieval_eval(
                 encode_visual, encode_text, tokenizer,
                 ((i, x) for i, x, _ in batches()),
                 texts=ds.texts, text_ids=ds.text_ids, clip_mean=clip_mean,
+                distributed=False,
             )
         else:
             classifier = build_zero_shot_classifier(
                 encode_text, tokenizer, ds.classnames, ds.templates)
             runner = classification_eval if metric == "acc" else map_eval
             out = runner(encode_visual, batches(), classifier,
-                         clip_mean=clip_mean)
+                         clip_mean=clip_mean, distributed=False)
         results[spec] = out
         logging.info(f"eval[{spec}]: " + ", ".join(
             f"{k}={v:.4f}" for k, v in out.items()

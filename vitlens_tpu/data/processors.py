@@ -455,6 +455,11 @@ class EEGProcessor:
 
 
 def default_processors(modalities: Optional[Sequence[str]] = None):
+    def _video():
+        from vitlens_tpu.data.video_processors import VideoProcessor
+
+        return VideoProcessor(train=False)
+
     all_procs = {
         "image": ImageProcessor,
         "text": TextProcessor,
@@ -463,7 +468,8 @@ def default_processors(modalities: Optional[Sequence[str]] = None):
         "audio": AudioProcessor,
         "tactile": TactileProcessor,
         "eeg": EEGProcessor,
+        "video": _video,
     }
     if modalities is None:
-        modalities = list(all_procs)
+        modalities = [m for m in all_procs if m != "video"]
     return {m: all_procs[m]() for m in modalities}

@@ -88,7 +88,7 @@ def expand_templates(templates, classname: str) -> List[str]:
 # ---------------------------------------------------------------------------
 
 
-def metadata_dir(modality: str) -> Optional[str]:
+def metadata_dir(modality: str) -> str:
     env = os.environ.get("VITLENS_METADATA_DIR")
     sub = {
         "pc": "modal_3d/data", "audio": "modal_audio/data",
@@ -99,7 +99,10 @@ def metadata_dir(modality: str) -> Optional[str]:
         cand = os.path.join(root, sub)
         if os.path.isdir(cand):
             return cand
-    return None
+    raise FileNotFoundError(
+        f"no metadata dir for modality {modality!r}: set "
+        f"VITLENS_METADATA_DIR to a directory containing {sub} (the "
+        "reference repo's metadata layout)")
 
 
 def load_pc_templates(prompt_set: str = "modelnet40_64") -> List[str]:
@@ -143,10 +146,11 @@ def load_vggsound_classes() -> List[str]:
     return out
 
 
-def load_scene_names(dataset: str = "nyu") -> List[str]:
+def load_scene_names() -> List[str]:
+    """Shared depth scene-name list: the reference ships ONE file
+    (nyu-depth-v2_scene_name.json) used by both NYU and SUN-RGBD evals."""
     d = metadata_dir("depth")
-    fname = "nyu-depth-v2_scene_name.json"
-    with open(os.path.join(d, fname)) as f:
+    with open(os.path.join(d, "nyu-depth-v2_scene_name.json")) as f:
         return json.load(f)
 
 

@@ -17,17 +17,24 @@ import numpy as np
 
 def average_precision(targets: np.ndarray, scores: np.ndarray) -> float:
     """Binary AP == sklearn.average_precision_score: sum over descending
-    score thresholds of (R_n - R_{n-1}) * P_n."""
+    score THRESHOLDS of (R_n - R_{n-1}) * P_n. Tied scores form ONE
+    threshold (sklearn semantics) — a per-sample cumsum would make the
+    result depend on input order whenever scores collide."""
     order = np.argsort(-scores, kind="stable")
     t = targets[order]
-    tp = np.cumsum(t)
-    fp = np.cumsum(1 - t)
+    s = scores[order]
     n_pos = t.sum()
     if n_pos == 0:
         return 0.0
+    tp = np.cumsum(t)
+    fp = np.cumsum(1 - t)
+    # keep only the LAST sample of each tied-score run: P/R are evaluated
+    # once per distinct threshold, with all tied samples included
+    last = np.ones(len(s), bool)
+    last[:-1] = s[:-1] != s[1:]
+    tp, fp = tp[last], fp[last]
     precision = tp / (tp + fp)
     recall = tp / n_pos
-    # sum P at each positive (equivalent to step integration over recall)
     prev_r = np.concatenate([[0.0], recall[:-1]])
     return float(np.sum((recall - prev_r) * precision))
 
@@ -63,9 +70,14 @@ def cond_topk_correct(logits: np.ndarray, targets: np.ndarray,
 
 class Accuracy:
     """Streaming top-1 accuracy (metrics/accuracy.py:8-56). `targets` may be
-    class ids [N] or multi-hot [N, C] (correct if predicted class is hot)."""
+    class ids [N] or multi-hot [N, C] (correct if predicted class is hot).
 
-    def __init__(self):
+    distributed=False skips the cross-process merge: the CLI's mesh eval
+    runs every rank over the FULL val set in lockstep (collective jits),
+    so merging would count each sample process_count times."""
+
+    def __init__(self, distributed: bool = True):
+        self.distributed = distributed
         self.score_sum = 0.0
         self.score_cnt = 0
         self.ids: List[np.ndarray] = []
@@ -85,7 +97,8 @@ class Accuracy:
         self.hyps.append(pred)
 
     def merge_results(self, output_predict: bool = False) -> Dict:
-        score_sum, score_cnt, ids, hyps = _dist_merge(
+        merge = _dist_merge if self.distributed else (lambda *a: a)
+        score_sum, score_cnt, ids, hyps = merge(
             self.score_sum, self.score_cnt,
             np.concatenate(self.ids) if self.ids else np.zeros(0, np.int64),
             np.concatenate(self.hyps) if self.hyps else np.zeros(0, np.int64),
@@ -105,7 +118,8 @@ class MAP:
     """Streaming mean average precision over sigmoid scores
     (metrics/map.py:12-55)."""
 
-    def __init__(self):
+    def __init__(self, distributed: bool = True):
+        self.distributed = distributed  # see Accuracy docstring
         self.logits: List[np.ndarray] = []
         self.targets: List[np.ndarray] = []
 
@@ -115,9 +129,12 @@ class MAP:
         self.targets.append(np.asarray(targets))
 
     def merge_results(self, output_predict: bool = False) -> Dict:
+        if not self.logits:  # empty val split / empty shard
+            return {"map": 0.0, "map_cnt": 0, "predict_results": {}}
         logits = np.concatenate(self.logits)
         targets = np.concatenate(self.targets)
-        logits, targets = _dist_concat(logits), _dist_concat(targets)
+        if self.distributed:
+            logits, targets = _dist_concat(logits), _dist_concat(targets)
         scores = 1.0 / (1.0 + np.exp(-logits))
         return {
             "map": mean_average_precision(targets, scores),
@@ -131,7 +148,8 @@ class Recall:
     items to their ground-truth group (multiple captions per item share an
     id)."""
 
-    def __init__(self, text_ids, text_feats):
+    def __init__(self, text_ids, text_feats, distributed: bool = True):
+        self.distributed = distributed  # see Accuracy docstring
         self.text_ids = np.asarray(text_ids)
         self.text_feats = np.asarray(text_feats, np.float32)
         self.image_ids: List[np.ndarray] = []
@@ -142,8 +160,11 @@ class Recall:
         self.image_feats.append(np.asarray(image_feats, np.float32))
 
     def merge_results(self, output_predict: bool = False) -> Dict:
-        image_ids = _dist_concat(np.concatenate(self.image_ids))
-        image_feats = _dist_concat(np.concatenate(self.image_feats))
+        image_ids = np.concatenate(self.image_ids)
+        image_feats = np.concatenate(self.image_feats)
+        if self.distributed:
+            image_ids = _dist_concat(image_ids)
+            image_feats = _dist_concat(image_feats)
         sim_i2t = image_feats @ self.text_feats.T
         return self.retrieval_eval(image_ids, self.text_ids, sim_i2t)
 

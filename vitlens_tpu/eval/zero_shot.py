@@ -27,6 +27,19 @@ def _l2n(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
+def _encode_feats(encode_visual, x: np.ndarray, clip_mean: bool) -> np.ndarray:
+    """Shared by every runner. clip_mean: inputs are [B, n_clip, ...];
+    unnormalized clip features -> mean -> normalize ONCE (reference
+    zero_shot.py:684-695)."""
+    if clip_mean:
+        B, S = x.shape[:2]
+        feats = np.asarray(
+            encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
+        )
+        return _l2n(feats.reshape(B, S, -1).mean(axis=1))
+    return _l2n(np.asarray(encode_visual(x), np.float32))
+
+
 def build_zero_shot_classifier(
     encode_text: Callable[[np.ndarray], np.ndarray],
     tokenizer: Callable[[Sequence[str]], np.ndarray],
@@ -52,28 +65,20 @@ def classification_eval(
     topk: Sequence[int] = (1, 5),
     classnames: Optional[Sequence[str]] = None,
     clip_mean: bool = False,
+    distributed: bool = True,
 ) -> Dict:
     """batches yield (ids, inputs, targets). Returns accuracy + top-k and
     per-class stats (reference test_zeroshot_3d_core :193-253).
     clip_mean: inputs are [B, n_clip, ...]; clip embeddings mean-pooled
     (reference zero_shot.py:615-624)."""
-    acc = Accuracy()
+    acc = Accuracy(distributed=distributed)
     per_class_cnt: Dict[int, int] = defaultdict(int)
     per_class_topk = {k: defaultdict(int) for k in topk}
     total = {k: 0 for k in topk}
     n = 0
     for ids, x, targets in batches:
         x = np.asarray(x)
-        if clip_mean:
-            # unnormalized clip features -> mean -> normalize ONCE
-            # (reference zero_shot.py:684-695)
-            B, S = x.shape[:2]
-            feats = np.asarray(
-                encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
-            )
-            feats = _l2n(feats.reshape(B, S, -1).mean(axis=1))
-        else:
-            feats = _l2n(np.asarray(encode_visual(x), np.float32))
+        feats = _encode_feats(encode_visual, x, clip_mean)
         logits = feats @ classifier.T
         acc.compute(ids, logits, targets)
         targets = np.asarray(targets)
@@ -106,21 +111,13 @@ def map_eval(
     *,
     logit_scale: float = 1.0,
     clip_mean: bool = False,
+    distributed: bool = True,
 ) -> Dict:
     """AudioSet-style multi-label mAP (reference zero_shot.py:572-639)."""
-    m = MAP()
+    m = MAP(distributed=distributed)
     for ids, x, targets in batches:
         x = np.asarray(x)
-        if clip_mean:
-            # unnormalized clip features -> mean -> normalize ONCE
-            # (reference zero_shot.py:684-695)
-            B, S = x.shape[:2]
-            feats = np.asarray(
-                encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
-            )
-            feats = _l2n(feats.reshape(B, S, -1).mean(axis=1))
-        else:
-            feats = _l2n(np.asarray(encode_visual(x), np.float32))
+        feats = _encode_feats(encode_visual, x, clip_mean)
         logits = logit_scale * feats @ classifier.T
         m.compute(ids, logits, targets)
     return m.merge_results()
@@ -136,6 +133,7 @@ def retrieval_eval(
     *,
     text_batch: int = 256,
     clip_mean: bool = False,
+    distributed: bool = True,
 ) -> Dict:
     """Cross-modal retrieval R@K (reference zero_shot.py:641-788): encode the
     text corpus, stream visual batches, rank both directions."""
@@ -144,19 +142,10 @@ def retrieval_eval(
         ids = tokenizer(list(texts[i:i + text_batch]))
         tfeats.append(np.asarray(encode_text(ids), np.float32))
     tfeats = _l2n(np.concatenate(tfeats))
-    rec = Recall(np.asarray(text_ids), tfeats)
+    rec = Recall(np.asarray(text_ids), tfeats, distributed=distributed)
     for ids, x in batches:
         x = np.asarray(x)
-        if clip_mean:
-            # unnormalized clip features -> mean -> normalize ONCE
-            # (reference zero_shot.py:684-695)
-            B, S = x.shape[:2]
-            feats = np.asarray(
-                encode_visual(x.reshape((B * S,) + x.shape[2:])), np.float32
-            )
-            feats = _l2n(feats.reshape(B, S, -1).mean(axis=1))
-        else:
-            feats = _l2n(np.asarray(encode_visual(x), np.float32))
+        feats = _encode_feats(encode_visual, x, clip_mean)
         rec.compute(ids, feats)
     return rec.merge_results()
 
@@ -175,8 +164,6 @@ def video_retrieval_eval(
     captions); duplicate video ids (multi-caption) are deduped on the video
     side; with frame_mean_pool the encoder sees per-frame inputs [(B T), ...]
     and frame embeddings are mean-pooled before normalisation."""
-    from vitlens_tpu.eval.metrics import Recall
-
     vid_feats: Dict[int, np.ndarray] = {}
     text_feats = []
     text_ids = []

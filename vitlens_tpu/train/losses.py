@@ -238,6 +238,14 @@ def make_loss_fn(
     """Build the training loss callable keyed the same way as the reference
     CLI (--n_tower, --contra_loss_type {general,label_mask,sim_mask})."""
 
+    known = ("general", "label_mask", "sim_mask", "distill_token")
+    if contra_loss_type not in known:
+        # a typo would otherwise silently train the plain contrastive
+        # objective (reference create_loss raises, factory.py:819-820)
+        raise ValueError(
+            f"unknown contra_loss_type {contra_loss_type!r}; expected one "
+            f"of {known}")
+
     if n_tower == 3:
         def tri_fn(out: Dict[str, jnp.ndarray], labels=None) -> jnp.ndarray:
             mask = None
