@@ -261,6 +261,19 @@ def test_openshape_cli(tmp_path):
                "--logs", str(tmp_path / "logs"), "--name", "os"])
     assert rc == 0
 
+    # --resume latest in TRAIN mode: warm-starts weights and continues
+    # from the saved epoch (it used to be silently ignored)
+    rc = main(["--train-files", str(tmp_path / "*.npy"), "--tiny",
+               "--epochs", "2", "--batch-size", "2", "--npoints", "64",
+               "--out-channel", "24", "--precision", "fp32",
+               "--log-every-n-steps", "1", "--resume", "latest",
+               "--logs", str(tmp_path / "logs"), "--name", "os"])
+    assert rc == 0
+    log = (tmp_path / "logs" / "os" / "out.log").read_text()
+    assert "resumed openshape weights" in log
+    import os as _os
+    assert _os.path.isdir(tmp_path / "logs" / "os" / "checkpoints" / "epoch_2")
+
     # baseline pc encoder through the same driver (--pc-model, reference
     # config model.name dispatch)
     rc = main(["--train-files", str(tmp_path / "*.npy"),

@@ -151,6 +151,11 @@ def main(argv=None) -> int:
 
     writer = MetricsWriter(log_dir)
     rng = jax.random.PRNGKey(args.seed)
+    if args.val_split:  # build ONCE — dataset construction re-lists files
+        val_ds = _dataset(args, args.val_split)
+        vinfo = build_loader(val_ds, batch_size=args.batch_size,
+                             shuffle=False, drop_last=False,
+                             num_workers=args.workers)
     gstep = 0
     for epoch in range(args.epochs):
         info.set_epoch(epoch)
@@ -166,10 +171,6 @@ def main(argv=None) -> int:
                 logging.info(f"epoch {epoch} step {gstep}: loss "
                              f"{float(np.asarray(loss)):.4f}")
         if args.val_split:
-            val_ds = _dataset(args, args.val_split)
-            vinfo = build_loader(val_ds, batch_size=args.batch_size,
-                                 shuffle=False, drop_last=False,
-                                 num_workers=args.workers)
             correct = n = 0
             for raw in vinfo.dataloader:
                 x = jnp.asarray(np.asarray(raw[vk]))

@@ -5,7 +5,7 @@ Trains the bigG PNSA Lens against precomputed CLIP text/image embeddings:
 
   python -m vitlens_tpu.cli.train_openshape \
       --train-files '/data/openshape/*.npy' --epochs 10 --batch-size 16 \
-      --use-mask --negative-sample-num 1 \
+      --use-mask --negative-sample-num 2 \
       --eval-feats /data/mn40_text_feats.npy --eval-labels /data/mn40_labels.npy
 """
 
@@ -48,6 +48,9 @@ def build_args(argv=None):
     p.add_argument("--use-mask", action="store_true")
     p.add_argument("--mask-threshold", type=float, default=0.1)
     p.add_argument("--negative-sample-num", type=int, default=1)
+    p.add_argument("--wd", type=float, default=0.2,
+                   help="AdamW weight decay on ndim>=2 params only "
+                        "(reference main.py exclude_wd + train.yaml 0.2)")
     p.add_argument("--use-text-proj", action="store_true")
     p.add_argument("--use-image-proj", action="store_true")
     # reference config model.name: the shipped CLIPBind Lens tower or a
@@ -128,6 +131,21 @@ def main(argv=None) -> int:
             return 0
         logging.info("no training files and no eval spec; nothing to do")
         return 0
+    start_epoch = 0
+    if args.resume:
+        # honor --resume in TRAIN mode too (weights + model state; the
+        # checkpoint stores no optimizer state, so optimizer/schedule
+        # restart — logged so the warm start is explicit)
+        path = (C.get_latest_checkpoint(os.path.join(log_dir, "checkpoints"))
+                if args.resume == "latest" else args.resume)
+        if path:
+            host = C.load_checkpoint(path, {"params": params, "state": state})
+            params, state = host["params"], host["state"]
+            start_epoch = int((C.load_meta(path) or {}).get("epoch", 0))
+            logging.info(f"resumed openshape weights from {path} (epoch "
+                         f"{start_epoch}); optimizer state restarts fresh")
+        elif args.resume != "latest":
+            raise FileNotFoundError(args.resume)
     ds = OS.OpenShapeTripletDataset(files, npoints=args.npoints,
                                     seed=args.seed)
     devices = jax.devices()
@@ -138,23 +156,37 @@ def main(argv=None) -> int:
 
     total_steps = info.num_batches * args.epochs
     sched = get_schedule("cosine", args.lr, args.warmup, total_steps)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
+    # weight decay on matrices only — the reference excludes ndim<2 /
+    # bn / ln / bias / logit_scale from wd (main.py:197-202; all of those
+    # are sub-2D here), with wd 0.2 (configs/train.yaml)
+    wd_mask = jax.tree.map(lambda l: np.ndim(l) >= 2, params)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(sched, weight_decay=args.wd, mask=wd_mask))
     opt_state = tx.init(params)
 
-    base_mask = None
-    if args.use_mask and args.negative_sample_num > 1:
-        base_mask = jnp.asarray(OS.knn_negative_mask(
-            args.batch_size * n_shards // args.negative_sample_num,
-            args.negative_sample_num))
+    # Mask semantics (reference train.py:241-285): the sim-margin mask is
+    # OR'd with mask_other = eye|~kron(eye(s), 1_kxk). With k=1 mask_other
+    # is ALL-ONES, i.e. use_mask is a no-op; with k>1 it drops same-kNN-
+    # group negatives unless the teacher margin exceeds the threshold —
+    # which requires the loader to deliver consecutive k-sized kNN groups.
+    # OpenShapeTripletDataset yields independent objects, so k>1 would
+    # zero arbitrary unrelated pairs: refuse loudly until grouped
+    # sampling exists (PARITY.md).
+    if args.use_mask:
+        if args.negative_sample_num > 1:
+            raise NotImplementedError(
+                "--use-mask with --negative-sample-num > 1 needs kNN-"
+                "grouped batch sampling, which OpenShapeTripletDataset "
+                "does not provide; the reference draws k neighbors per "
+                "object from its kNN metadata")
+        logging.info("--use-mask with negative-sample-num=1 is a no-op "
+                     "(reference mask_other = eye|~kron is all-ones at "
+                     "k=1); continuing unmasked")
 
     axis = "data" if mesh else None
 
     def loss_fn(p, s, batch, fps_key):
         mask = None
-        if args.use_mask:
-            mask = OS.sim_margin_mask(batch["img_feat"], batch["text_feat"],
-                                      args.mask_threshold,
-                                      base_mask=base_mask)
         return OS.openshape_loss(
             p, s, batch, tower,
             text_weight=args.text_weight, image_weight=args.image_weight,
@@ -194,8 +226,8 @@ def main(argv=None) -> int:
 
     writer = MetricsWriter(log_dir)
     rng = jax.random.PRNGKey(args.seed)
-    gstep = 0
-    for epoch in range(args.epochs):
+    gstep = start_epoch * info.num_batches
+    for epoch in range(start_epoch, args.epochs):
         info.set_epoch(epoch)
         for raw in info.dataloader:
             batch = {k: np.asarray(v) for k, v in raw.items()

@@ -106,10 +106,20 @@ def _spans_processes(mesh: Mesh) -> bool:
 
 
 def path_str(path) -> str:
-    """Stringify a tree_flatten_with_path key path as a/b/c (shared by the
-    TP/FSDP spec matchers — both sides MUST produce identical strings)."""
-    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                    for p in path)
+    """Stringify a tree_flatten_with_path key path as a/b/c. THE single
+    canonical stringifier: the TP/FSDP spec matchers, checkpoint leaf
+    naming and hub export all use it — both sides of any path-keyed
+    matching MUST produce identical strings, so don't fork local copies.
+    Handles DictKey (.key), GetAttrKey (.name) and SequenceKey (.idx)."""
+    parts = []
+    for p in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(p, attr):
+                parts.append(str(getattr(p, attr)))
+                break
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -160,17 +160,9 @@ def _save_tree(path: str, tree: Any) -> None:
 
 
 def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "name"):
-            parts.append(str(p.name))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
+    from vitlens_tpu.parallel.mesh import path_str
+
+    return path_str(path)
 
 
 def _load_tree(path: str, target: Any) -> Any:

@@ -69,7 +69,11 @@ def clip_bind_init(key, tower_cfg: TowerConfig, out_channel: int) -> Tuple[Param
     bb_params, bb_state = vision_tower_init(k_bb, tower_cfg)
     params: Params = {"backbone": bb_params}
     if tower_cfg.embed_dim != out_channel:
-        # replace CLIP proj with a fresh Linear width->out_channel
+        # replace CLIP proj with a fresh Linear width->out_channel and DROP
+        # the backbone proj (reference sets backbone.proj = None,
+        # clip_bind.py:38-49): keeping it would carry a dead 1664x1280
+        # param through optimizer slots and let weight decay mutate it
+        bb_params.pop("proj", None)
         params["proj_layer"] = {
             "w": _kaiming_uniform(k_proj, (tower_cfg.arch.width, out_channel)),
             "b": _bias_uniform(k_proj, tower_cfg.arch.width, out_channel),
@@ -299,7 +303,9 @@ class OpenShapeTripletDataset:
         self.augment = augment
         self.rgb_drop_prob = rgb_drop_prob
         self.use_color = use_color
-        self.rng = np.random.RandomState(seed)
+        from vitlens_tpu.data.rng import ThreadLocalRNG
+
+        self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
 
     def __len__(self):
         return len(self.files)

@@ -290,7 +290,9 @@ def push_to_hf_hub(params, config: Dict[str, Any], repo_id: str,
         leaves_with_paths = jax.tree_util.tree_flatten_with_path(params)[0]
         arrays = {}
         for path, leaf in leaves_with_paths:
-            key = "/".join(getattr(p, "key", str(p)) for p in path)
+            from vitlens_tpu.parallel.mesh import path_str
+
+            key = path_str(path)
             arrays[key] = np.asarray(leaf)
         np.savez(os.path.join(tmp, "params.npz"), **arrays)
         with open(os.path.join(tmp, "config.json"), "w") as f:
