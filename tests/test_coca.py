@@ -170,3 +170,35 @@ def test_logit_processors_match_hf():
     ref = TopPLogitsWarper(top_p=0.6)(t_ids, t_scores.clone())
     got = np.asarray(_top_p_warp(jnp.asarray(scores), 0.6))
     np.testing.assert_allclose(got, ref.numpy(), rtol=1e-6)
+
+
+def test_coca_cls_attn_mask_matches_reference_build_cls_mask():
+    """Oracle: the reference TextTransformer.build_cls_mask + causal add
+    (transformer.py:871-908) reimplemented with torch F.pad, compared
+    cell-for-cell. Only the CLS (last) query row is pad-masked, with keys
+    shifted right by one."""
+    import torch
+    import torch.nn.functional as TF
+
+    from vitlens_tpu.models.coca import coca_cls_attn_mask
+
+    rng = np.random.RandomState(0)
+    B, T, pad_id = 3, 7, 0
+    text = rng.randint(1, 50, size=(B, T)).astype(np.int64)
+    text[0, 4:] = pad_id  # padded caption
+    text[1, 6:] = pad_id  # last token padded
+    # text[2]: no padding
+
+    # reference: build_attention_mask + build_cls_mask
+    seq = T + 1
+    causal = torch.full((seq, seq), float("-inf"))
+    causal.triu_(1)
+    cls_mask = (torch.from_numpy(text) != pad_id).unsqueeze(1)  # [B,1,T]
+    cls_mask = TF.pad(cls_mask, (1, 0, cls_mask.shape[2], 0), value=1.0)
+    additive = torch.zeros(cls_mask.shape)
+    additive.masked_fill_(~cls_mask, float("-inf"))
+    want = (causal[None] + additive).numpy()  # [B, seq, seq]
+
+    got = np.asarray(coca_cls_attn_mask(jnp.asarray(text.astype(np.int32)),
+                                        pad_id))[:, 0]
+    np.testing.assert_array_equal(got, want)

@@ -37,7 +37,8 @@ from vitlens_tpu.models.layers import (
     linear,
     linear_init,
 )
-from vitlens_tpu.ops.fps import ball_query, fps, group_points
+from vitlens_tpu.ops.fps import (ball_query, fps, group_points,
+                                 take_points)
 
 Params = Dict[str, Any]
 State = Dict[str, Any]
@@ -72,13 +73,19 @@ def batch_norm(
         x32 = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x32, axis=axes)
-        var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
-        if axis_name is not None:
-            mean = jax.lax.pmean(mean, axis_name)
-            var = jax.lax.pmean(var, axis_name)
+        ex2 = jnp.mean(jnp.square(x32), axis=axes)
         n = 1
         for a in axes:
             n *= x.shape[a]
+        if axis_name is not None:
+            # sync the MOMENTS, not per-shard variances: pmean of locally-
+            # centered variances is E[x^2] - avg_i(m_i^2) <= true global
+            # variance whenever shard means differ (torch SyncBatchNorm
+            # computes global mean/var — reference audio_main.py:346-347)
+            mean = jax.lax.pmean(mean, axis_name)
+            ex2 = jax.lax.pmean(ex2, axis_name)
+            n = n * jax.lax.axis_size(axis_name)  # static: global count
+        var = ex2 - jnp.square(mean)
         unbiased = var * (n / max(n - 1, 1))
         new_s = {
             "mean": (1 - momentum) * s["mean"] + momentum * mean,
@@ -221,7 +228,9 @@ def eeg_adapter_init(key, cfg: TowerConfig) -> Tuple[Params, State]:
     fan_in = e.chans * e.window_size
     return (
         {
-            # layout [window*chans, width]; window_size=1 -> plain matmul
+            # layout [chans*window, width] — CHANS-major, matching both the
+            # unfold reshape below ([B,n,chans,window].reshape) and torch
+            # Conv1d's [out, in_ch*k] flattening; window_size=1 -> matmul
             "proj": {
                 "w": _kaiming_uniform(k1, (fan_in, width)),
                 "b": _bias_uniform(k2, fan_in, width),
@@ -393,11 +402,8 @@ def pnsa_tokenizer_apply(
     new_xyz = fps(xyz, cfg.num_group, key=fps_key)  # [B,G,3]
     idx = ball_query(xyz, new_xyz, cfg.radius, cfg.group_size,
                      exact=cfg.knn_exact)  # [B,G,M]
-    B, G, M = idx.shape
-    take = jax.vmap(lambda a, i: a[i])
-    grouped_xyz = take(xyz, idx.reshape(B, G * M)).reshape(B, G, M, 3)
-    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
-    grouped_feat = take(features, idx.reshape(B, G * M)).reshape(B, G, M, -1)
+    grouped_xyz = take_points(xyz, idx) - new_xyz[:, :, None, :]
+    grouped_feat = take_points(features, idx)
     h = jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
 
     new_states = []

@@ -29,7 +29,8 @@ from vitlens_tpu.models.layers import gelu, layer_norm, layer_norm_init, linear
 
 Params = Dict[str, Any]
 
-LN_EPS = 1e-12  # BertConfig.layer_norm_eps default
+LN_EPS = 1e-12      # BertConfig.layer_norm_eps default
+LN_EPS_ROBERTA = 1e-5  # RobertaConfig/XLMRobertaConfig.layer_norm_eps
 
 
 def _init_linear(key, d_in, d_out, std=0.02, bias=True) -> Params:
@@ -85,6 +86,10 @@ def bert_encoder_apply(p: Params, input_ids: jnp.ndarray,
     non-pad token i gets position padding_idx + cumsum(mask)[i], pads get
     padding_idx (= pad_id, 1 for the HF roberta family)."""
     B, N = input_ids.shape
+    # the two supported HF families ship different LayerNorm eps defaults;
+    # 1e-12 on a roberta checkpoint measurably diverges from transformers
+    # for near-constant hidden rows
+    eps = LN_EPS_ROBERTA if position_style == "roberta" else LN_EPS
     emb = p["embeddings"]
     if position_style == "roberta":
         not_pad = (input_ids != pad_id).astype(jnp.int32)
@@ -97,7 +102,7 @@ def bert_encoder_apply(p: Params, input_ids: jnp.ndarray,
     h = (jnp.take(emb["word"], input_ids, axis=0)
          + pos
          + emb["token_type"][0][None, None, :])
-    h = layer_norm(h, emb["ln"], LN_EPS).astype(compute_dtype)
+    h = layer_norm(h, emb["ln"], eps).astype(compute_dtype)
 
     if attention_mask is None:
         attention_mask = jnp.ones((B, N), jnp.int32)
@@ -115,14 +120,21 @@ def bert_encoder_apply(p: Params, input_ids: jnp.ndarray,
         ctx = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, -1)
         x = layer_norm(carry + linear(ctx, bp["attn_out"]), bp["attn_ln"],
-                       LN_EPS)
+                       eps)
         y = linear(gelu(linear(x, bp["inter"])), bp["out"])
-        return layer_norm(x + y, bp["out_ln"], LN_EPS), None
+        return layer_norm(x + y, bp["out_ln"], eps), None
 
     if remat:  # --grad-checkpointing, same policy as models/layers.py
         block = jax.checkpoint(block)
     h, _ = jax.lax.scan(block, h, p["blocks"])
-    pooled = jnp.tanh(linear(h[:, 0], p["pooler"]))
+    if p.get("pooler") is not None:
+        pooled = jnp.tanh(linear(h[:, 0], p["pooler"]))
+    else:
+        # checkpoint had no BertPooler (add_pooling_layer=False): the
+        # reference ClsPooler falls back to last_hidden[:, 0]
+        # (hf_model.py:72-79); zero-filled weights would silently emit
+        # all-zero features
+        pooled = h[:, 0]
     return h, pooled
 
 
@@ -276,6 +288,7 @@ def convert_hf_bert_state_dict(sd) -> Params:
     if "pooler.dense.weight" in sd:
         out["pooler"] = lin("pooler.dense")
     else:
-        h = emb["word"].shape[1]
-        out["pooler"] = {"w": jnp.zeros((h, h)), "b": jnp.zeros((h,))}
+        # no pooler in the checkpoint: None makes the apply fall back to
+        # last_hidden[:, 0] (reference ClsPooler semantics)
+        out["pooler"] = None
     return out

@@ -15,6 +15,7 @@ Kept for inventory parity with open_clip (no ViT-Lens result uses CoCa).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -108,6 +109,26 @@ def cls_text_tower_init(key, cfg: TextArch, embed_dim: int) -> Params:
     return p
 
 
+def coca_cls_attn_mask(text: jnp.ndarray, pad_id: int = 0) -> jnp.ndarray:
+    """Causal + cls pad mask for the CLS-extended text tower, exactly the
+    reference build_cls_mask (transformer.py:879-889): F.pad puts one
+    leading True on the KEY axis and T leading all-True rows on the QUERY
+    axis, so only the LAST query row (CLS) is pad-masked, with key j
+    attendable iff j == 0 or text[j-1] != pad — CLS attends the first pad
+    position and NOT itself when text[-1] is pad. Non-CLS rows get no pad
+    mask (harmless under causality: non-pad queries precede every pad
+    key). Returns additive [B, 1, T+1, T+1]."""
+    B, T = text.shape
+    seq = T + 1
+    cmask = causal_mask(seq)
+    valid = jnp.concatenate(
+        [jnp.ones((B, 1), bool), text != pad_id], axis=1)  # keys, shifted
+    row = jnp.arange(seq)[None, :, None]  # [1, Tq, 1]
+    cls_pad = jnp.where((row == seq - 1) & ~valid[:, None, :],
+                        -jnp.inf, 0.0)  # [B, Tq, Tk]
+    return cmask[None, None] + cls_pad[:, None]
+
+
 def cls_text_tower_apply(
     p: Params, text: jnp.ndarray, cfg: TextArch, *,
     pad_id: int = 0, quick_gelu: bool = False, compute_dtype=jnp.float32,
@@ -125,12 +146,7 @@ def cls_text_tower_apply(
     seq = T + 1
     x = x + p["positional_embedding"][:seq].astype(x.dtype)
 
-    # additive mask: causal + pad (build_cls_mask, transformer.py:879-889)
-    cmask = causal_mask(seq)
-    valid = text != pad_id  # [B, T]
-    valid = jnp.concatenate([valid, jnp.ones((B, 1), bool)], axis=1)
-    pad_mask = jnp.where(valid[:, None, None, :], 0.0, -jnp.inf)
-    mask = cmask[None, None] + pad_mask
+    mask = coca_cls_attn_mask(text, pad_id)
 
     x = L.transformer(x, p["trunk"], cfg.heads, L.get_act(quick_gelu),
                       mask=mask)
@@ -533,6 +549,36 @@ def _generate_beam(params, image_embs, cfg: CoCaConfig, *, B, seq_len,
     return jnp.where(any_fin[:, None], best_fin, best_live)
 
 
+# jit caches for generate: a fresh lambda per call would retrace and
+# recompile the full decode scan every invocation (jit caches by function
+# identity) — tens of seconds per caption batch on TPU. All keys are
+# hashable statics (cfg is a frozen dataclass).
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_beam(cfg, B, seq_len, n_beams, min_seq_len, repetition_penalty,
+              sot_id, eos_id, pad_id, compute_dtype):
+    return jax.jit(lambda p, e: _generate_beam(
+        p, e, cfg, B=B, seq_len=seq_len, n_beams=n_beams,
+        min_seq_len=min_seq_len, repetition_penalty=repetition_penalty,
+        sot_id=sot_id, eos_id=eos_id, pad_id=pad_id,
+        compute_dtype=compute_dtype))
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_sample(cfg, B, seq_len, temperature, generation_type, top_p, top_k,
+                min_seq_len, repetition_penalty, sot_id, eos_id, pad_id,
+                compute_dtype):
+    warper = ((lambda s: _top_p_warp(s, top_p))
+              if generation_type == "top_p"
+              else (lambda s: _top_k_warp(s, top_k)))
+    return jax.jit(lambda p, e, k: _generate_sample(
+        p, e, k, cfg, B=B, seq_len=seq_len, temperature=temperature,
+        warper=warper, min_seq_len=min_seq_len,
+        repetition_penalty=repetition_penalty, sot_id=sot_id,
+        eos_id=eos_id, pad_id=pad_id, compute_dtype=compute_dtype))
+
+
 def coca_generate(params, state, images, cfg: CoCaConfig, *, key=None,
                   seq_len: int = 30, temperature: float = 1.0,
                   generation_type: str = "beam_search", top_p: float = 0.1,
@@ -561,28 +607,18 @@ def coca_generate(params, state, images, cfg: CoCaConfig, *, key=None,
         # note); fold groups into the batch, pick the best group afterwards
         G = num_beam_groups
         embs = jnp.repeat(image_embs, G * sub, axis=0)  # [B*G*sub, Ni, W]
-        out = jax.jit(
-            lambda p, e: _generate_beam(
-                p, e, cfg, B=B * G, seq_len=seq_len, n_beams=sub,
-                min_seq_len=min_seq_len,
-                repetition_penalty=repetition_penalty, sot_id=sot_token_id,
-                eos_id=eos_token_id, pad_id=pad_id,
-                compute_dtype=compute_dtype)
+        out = _jit_beam(
+            cfg, B * G, seq_len, sub, min_seq_len, repetition_penalty,
+            sot_token_id, eos_token_id, pad_id, compute_dtype,
         )(params, embs)  # [B*G, L]
         out = out.reshape(B, G, seq_len)[:, 0]  # groups identical; take 0
     elif generation_type in ("top_p", "top_k"):
         if key is None:
             raise ValueError(f"{generation_type} sampling needs a PRNG key")
-        warper = ((lambda s: _top_p_warp(s, top_p))
-                  if generation_type == "top_p"
-                  else (lambda s: _top_k_warp(s, top_k)))
-        out = jax.jit(
-            lambda p, e, k: _generate_sample(
-                p, e, k, cfg, B=B, seq_len=seq_len, temperature=temperature,
-                warper=warper, min_seq_len=min_seq_len,
-                repetition_penalty=repetition_penalty, sot_id=sot_token_id,
-                eos_id=eos_token_id, pad_id=pad_id,
-                compute_dtype=compute_dtype)
+        out = _jit_sample(
+            cfg, B, seq_len, temperature, generation_type, top_p, top_k,
+            min_seq_len, repetition_penalty, sot_token_id, eos_token_id,
+            pad_id, compute_dtype,
         )(params, image_embs, key)
     else:
         raise ValueError(

@@ -23,7 +23,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from vitlens_tpu.config import TowerConfig, VisionArch
+from vitlens_tpu.config import TowerConfig
 from vitlens_tpu.models import layers as L
 from vitlens_tpu.models.perceiver import perceiver_apply, perceiver_init
 from vitlens_tpu.models.vit import _adapter_apply, _adapter_init
@@ -87,15 +87,14 @@ def eva_trunk_apply(
     tokens_input: bool = False,
     use_pos_embed: bool = True,
     skip_first_n: Optional[int] = None,
-    keep_last_n_semantics: bool = True,
     apply_head: bool = True,
     remat: bool = False,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """images [B,3,H,W] (tokens_input=False) or tokens [B,N,width] -> pooled.
 
-    skip_first_n with keep_last_n_semantics follows the EVA wrapper: keep the
-    LAST (layers - skip_first_n) blocks (blip_eva_vit.py:629-637)."""
+    skip_first_n keeps the LAST (layers - skip_first_n) blocks — exactly
+    the EVA wrapper's truncation semantics (blip_eva_vit.py:629-637)."""
     x = x.astype(compute_dtype)
     if not tokens_input:
         from vitlens_tpu.adapters.tokenizers import patchify_2d
@@ -142,9 +141,8 @@ def perceiver_eva_tower_config(
     **tower_kw,
 ) -> TowerConfig:
     """TowerConfig views of the adapter/perceiver half; the EVA trunk carries
-    its own EVAArch. Latents/pos sizing follow the EVA grid (16x16=256)."""
-    arch = VisionArch(image_size=224, patch_size=14, width=1408, layers=39,
-                      head_width=88, mlp_ratio=4.3637)
+    its own EVAArch (width 1408, 39 layers). Latents/pos sizing follow the
+    EVA grid (16x16=256)."""
     from vitlens_tpu.config import make_tower_config
 
     # reuse the standard per-modality adapter defaults, retargeted at width 1408

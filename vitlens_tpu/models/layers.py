@@ -115,8 +115,10 @@ def get_act(quick: bool) -> Callable[[jnp.ndarray], jnp.ndarray]:
 def mha_init(key, dim: int) -> Params:
     """Packed-QKV MHA params. Layouts: qkv_w [dim, 3*dim], out_w [dim, dim]."""
     k1, k2, k3 = jax.random.split(key, 3)
-    # torch MHA uses xavier_uniform on in_proj
-    bound = math.sqrt(6.0 / (dim + dim))
+    # torch MHA xavier_uniform_'s the PACKED [3*dim, dim] in_proj weight:
+    # fan_in=dim, fan_out=3*dim -> bound = sqrt(6/(4*dim)), not the
+    # per-head sqrt(6/(2*dim)) (which over-scales init std by sqrt(2))
+    bound = math.sqrt(6.0 / (dim + 3 * dim))
     qkv_w = jax.random.uniform(k1, (dim, 3 * dim), minval=-bound, maxval=bound)
     return {
         "qkv_w": qkv_w,

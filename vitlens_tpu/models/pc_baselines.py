@@ -41,13 +41,7 @@ Params = Dict[str, Any]
 State = Dict[str, Any]
 
 
-def _take(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """index_points (reference pointnet_util.py:44-61): points [B,N,C],
-    idx [B,...] -> [B,...,C]. vmap'd take lowers to one XLA gather."""
-    B = points.shape[0]
-    flat = idx.reshape(B, -1)
-    out = jax.vmap(lambda pts, ind: pts[ind])(points, flat)
-    return out.reshape(*idx.shape, points.shape[-1])
+from vitlens_tpu.ops.fps import take_points as _take  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -72,14 +66,15 @@ def _conv_stack_init(key, in_ch: int, dims: Sequence[int],
     return ps, ss
 
 
+# torch Conv kaiming_uniform on [out, in, 1(,1)] == Linear default on the
+# [in, out] layout — one shared implementation in models/layers.py
+from vitlens_tpu.models.layers import (  # noqa: E402
+    _bias_uniform as _conv_bias, _kaiming_uniform as _kw,
+)
+
+
 def _conv_weight(key, fan_in: int, out: int) -> jnp.ndarray:
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
-    return jax.random.uniform(key, (fan_in, out), minval=-bound, maxval=bound)
-
-
-def _conv_bias(key, fan_in: int, out: int) -> jnp.ndarray:
-    bound = 1.0 / math.sqrt(fan_in)
-    return jax.random.uniform(key, (out,), minval=-bound, maxval=bound)
+    return _kw(key, (fan_in, out))
 
 
 def _conv_stack_apply(

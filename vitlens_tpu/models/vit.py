@@ -158,7 +158,11 @@ def vision_tower_apply(
             L_f = ftokens.shape[1]
             ftokens = (ftokens.reshape(B, T, L_f, -1)
                        + lt[None, :, None, :]).reshape(B * T, L_f, -1)
-        if cfg.perceiver is not None and not cfg.perceiver.as_identity:
+        # the reference adds the spatial pos whenever use_perceiver is set
+        # (transformer.py:703-705) — including the identity-perceiver
+        # ablation, where only the MODULE becomes nn.Identity
+        # (perceiver.py:369-371), so do not gate on as_identity here
+        if cfg.perceiver is not None:
             ftokens = ftokens + p["positional_embedding"][1:].astype(
                 ftokens.dtype)
         tokens = ftokens.reshape(B, T * ftokens.shape[1], -1)

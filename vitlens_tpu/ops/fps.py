@@ -266,6 +266,16 @@ def knn_indices(xyz: jnp.ndarray, query: jnp.ndarray, k: int,
     return idx.astype(jnp.int32)
 
 
+def take_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched index_points (reference pointnet_util.py:44-61):
+    points [B, N, C], idx [B, ...] int -> [B, ..., C]. vmap'd take lowers
+    to one XLA gather. Shared by the PNSA tokenizer and the pc baselines."""
+    B = points.shape[0]
+    flat = idx.reshape(B, -1)
+    out = jax.vmap(lambda pts, ind: pts[ind])(points, flat)
+    return out.reshape(*idx.shape, points.shape[-1])
+
+
 def group_points(
     xyz: jnp.ndarray,
     num_group: int,
