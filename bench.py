@@ -206,8 +206,17 @@ def bench_bigG_pc_encode(batch: int, iters: int):
 
     cfg = vitlensG_tower_config()
     cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        params, state = vision_tower_init(jax.random.PRNGKey(0), cfg)
+    # the CPU-side init must NOT touch the persistent cache: XLA:CPU AOT
+    # entries are machine-specific and this cache is shared across the
+    # heterogeneous VMs rounds land on (cpu_aot_loader feature mismatch ->
+    # SIGILL/SIGABRT risk; same hazard tests/conftest.py guards against).
+    # TPU entries are terminal-compiled and safe — re-enable after init.
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        with jax.default_device(cpu):
+            params, state = vision_tower_init(jax.random.PRNGKey(0), cfg)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
 
     def to_bf16(l):
         a = np.asarray(l)

@@ -23,20 +23,19 @@ SAMPLES = [
 def _ref_tokenizer():
     # reference tokenizer imports ftfy; stub it with a pass-through (our
     # implementation makes the same simplification)
-    import sys, types, html
+    import sys, types
     import importlib.machinery
 
     if "ftfy" not in sys.modules:
-        from vitlens_tpu.text.tokenizer import _fix_mojibake
+        from vitlens_tpu.text.tokenizer import fix_text
 
         m = types.ModuleType("ftfy")
         # a real __spec__ so later importlib.util.find_spec("ftfy") probes
         # (e.g. transformers' import_utils) don't crash on the stub
         m.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
-        # emulate real ftfy the same way the package under test approximates
-        # it, so token-exact parity holds on mojibake inputs too
-        m.fix_text = lambda s: html.unescape(
-            html.unescape(_fix_mojibake(s))).strip()
+        # emulate real ftfy with the package's default-pipeline reproduction
+        # so token-exact parity holds on mojibake/width/quote inputs too
+        m.fix_text = fix_text
         sys.modules["ftfy"] = m
     tk = ref_oracle.load("open_clip.tokenizer")
     return tk
@@ -81,7 +80,8 @@ def test_mojibake_repair():
     from vitlens_tpu.text.tokenizer import _basic_clean
 
     assert _basic_clean("cafÃ©") == "café"
-    assert _basic_clean("donâ€™t stop") == "don’t stop"
+    # ftfy default uncurl_quotes=True straightens the repaired ’ as well
+    assert _basic_clean("donâ€™t stop") == "don't stop"
     # nested (double-encoded) mojibake
     assert _basic_clean("cafÃƒÂ©") == "café"
     # legitimate accents must be left alone (no shrink possible)
@@ -91,6 +91,31 @@ def test_mojibake_repair():
     ours = get_tokenizer()
     np.testing.assert_array_equal(ours(["a cafÃ© photo"]),
                                   ours(["a café photo"]))
+
+
+def test_ftfy_default_fixers():
+    """fix_text reproduces the rest of ftfy.fix_text's DEFAULT fixer set
+    (reference tokenizer.py:67-70), not just mojibake: character width,
+    Latin ligatures, uncurl_quotes, C1 controls, terminal escapes, line
+    breaks, surrogate pairs."""
+    from vitlens_tpu.text.tokenizer import fix_text
+
+    assert fix_text("ｆｕｌｌｗｉｄｔｈ ４２") == "fullwidth 42"
+    # halfwidth katakana + halfwidth voiced mark compose under final NFC
+    assert fix_text("ﾌﾞﾗｼﾞﾙ") == "ブラジル"
+    assert fix_text("ideographic　space") == "ideographic space"
+    assert fix_text("ﬁre ﬂow ﬆop") == "fire flow stop"
+    assert fix_text("don’t say “hi”") == "don't say \"hi\""
+    # C1 controls are cp1252 punctuation read through latin-1
+    assert fix_text("smart \x93quotes\x94 and \x85") == 'smart "quotes" and …'
+    assert fix_text("a\x1b[31mred\x1b[0mz") == "aredz"
+    assert fix_text("l1\r\nl2\rl3 l4") == "l1\nl2\nl3\nl4"
+    # UTF-16 surrogate pairs recombine; lone surrogates -> U+FFFD
+    assert fix_text("x" + chr(0xD83D) + chr(0xDE00)) == "x😀"
+    assert fix_text("x" + chr(0xDC00)) == "x�"
+    # tokenization sees the normalized form
+    ours = get_tokenizer()
+    np.testing.assert_array_equal(ours(["don’t ｓｔｏｐ"]), ours(["don't stop"]))
 
 
 def test_clean_control_chars_and_nfc():

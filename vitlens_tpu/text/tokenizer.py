@@ -16,6 +16,7 @@ import functools
 import gzip
 import html
 import os
+import unicodedata
 from typing import Dict, List, Sequence, Tuple, Union
 
 import numpy as np
@@ -105,18 +106,87 @@ _CONTROL_CHARS = frozenset(
     c for c in map(chr, list(range(32)) + list(range(0x7F, 0xA0)))
     if c not in "\t\n\f\r") | {"\ufeff"}
 
+_TERMINAL_ESCAPE_RE = re.compile(r"\x1b\[(?:\d|;)*[a-zA-Z]")
+# uncurl_quotes: typographic single/double quotes -> ASCII
+_SINGLE_QUOTE_RE = re.compile("[\u2018-\u201b]")
+_DOUBLE_QUOTE_RE = re.compile("[\u201c-\u201f]")
+# fix_surrogates: UTF-16 surrogate pairs leaked into a str (bad JSON/cesu8)
+_SURROGATE_PAIR_RE = re.compile(r"[\ud800-\udbff][\udc00-\udfff]")
+_LONE_SURROGATE_RE = re.compile(r"[\ud800-\udfff]")
 
-def _basic_clean(text: str) -> str:
-    # ftfy.fix_text in the reference (tokenizer.py:67-70); ftfy itself is
-    # not in this image, so its default pipeline is reproduced: mojibake
-    # repair (above) + double html-unescape + control-char removal
-    # (remove_control_chars=True) + NFC normalization (normalization='NFC').
-    import unicodedata
 
-    text = html.unescape(html.unescape(_fix_mojibake(text)))
+def _build_width_map() -> dict:
+    """fix_character_width translate table: fullwidth forms -> ASCII,
+    halfwidth katakana/jamo -> standard width (per-char NFKC over the
+    Halfwidth and Fullwidth Forms block), ideographic space -> space, and
+    the halfwidth voiced-sound marks -> COMBINING marks so the final NFC
+    pass composes them onto the preceding kana (\uff8c\uff9e -> \u30d6)."""
+    width_map = {}
+    for i in range(0xFF01, 0xFFF0):
+        alt = unicodedata.normalize("NFKC", chr(i))
+        if alt != chr(i):
+            width_map[i] = alt
+    width_map[0x3000] = " "
+    width_map[0xFF9E] = "\u3099"  # combining voiced sound mark
+    width_map[0xFF9F] = "\u309a"  # combining semi-voiced sound mark
+    return width_map
+
+
+_WIDTH_MAP = _build_width_map()
+
+# fix_latin_ligatures: the Latin ligature codepoints, expanded via NFKC
+_LIGATURE_MAP = {ord(c): unicodedata.normalize("NFKC", c)
+                 for c in "\u0132\u0133\ufb00\ufb01\ufb02\ufb03\ufb04\ufb05\ufb06"}
+
+# fix_c1_controls: C1 control chars (U+0080-U+009F) are nearly always
+# windows-1252 punctuation read through latin-1; re-decode the defined ones
+_C1_MAP = {}
+for _c1 in range(0x80, 0xA0):
+    try:
+        _C1_MAP[_c1] = bytes([_c1]).decode("cp1252")
+    except UnicodeDecodeError:
+        pass  # the 5 codes cp1252 leaves undefined stay as controls
+del _c1
+
+
+def _fix_surrogates(text: str) -> str:
+    if not _LONE_SURROGATE_RE.search(text):
+        return text
+    text = _SURROGATE_PAIR_RE.sub(
+        lambda m: chr(0x10000 + (ord(m.group(0)[0]) - 0xD800) * 0x400
+                      + (ord(m.group(0)[1]) - 0xDC00)), text)
+    return _LONE_SURROGATE_RE.sub("\ufffd", text)
+
+
+def fix_text(text: str) -> str:
+    """ftfy.fix_text with its default fixer set, in ftfy's order (the
+    reference tokenizer.py:67-70 runs it before BPE; ftfy is not in this
+    image): unescape_html, remove_terminal_escapes, fix_encoding (mojibake,
+    above), fix_c1_controls, fix_latin_ligatures, fix_character_width,
+    uncurl_quotes, fix_line_breaks, fix_surrogates, remove_control_chars,
+    NFC normalization."""
+    if "&" in text:
+        text = html.unescape(text)
+    if "\x1b" in text:
+        text = _TERMINAL_ESCAPE_RE.sub("", text)
+    text = _fix_mojibake(text)
+    text = text.translate(_C1_MAP).translate(_LIGATURE_MAP)
+    text = text.translate(_WIDTH_MAP)
+    text = _SINGLE_QUOTE_RE.sub("'", _DOUBLE_QUOTE_RE.sub('"', text))
+    text = text.replace("\r\n", "\n")
+    for lb in ("\r", "\u2028", "\u2029"):
+        if lb in text:
+            text = text.replace(lb, "\n")
+    text = _fix_surrogates(text)
     if any(c in _CONTROL_CHARS for c in text):
         text = "".join(c for c in text if c not in _CONTROL_CHARS)
-    return unicodedata.normalize("NFC", text).strip()
+    return unicodedata.normalize("NFC", text)
+
+
+def _basic_clean(text: str) -> str:
+    # reference basic_clean (tokenizer.py:67-70): ftfy.fix_text + an
+    # explicit double html-unescape on top + strip
+    return html.unescape(html.unescape(fix_text(text))).strip()
 
 
 class SimpleTokenizer:
