@@ -1,0 +1,76 @@
+"""Inference server CLI: `vitlens-serve` — HTTP encode endpoint with
+cross-request micro-batching (see vitlens_tpu/serve.py; beyond-reference,
+the reference has no serving path).
+
+  python -m vitlens_tpu.cli.serve --modalities text audio \
+      --ckpt audio=/path/vitlensL_audio.pt --port 8000 \
+      --batch-buckets 1 8 64 --max-batch 64 --max-wait-ms 5
+
+Pair `--batch-buckets` (one XLA compile per bucket) with `--max-batch`
+equal to the top bucket so coalesced batches land on compiled shapes;
+`--data-parallel N` shards every device batch over an N-chip data mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("vitlens-tpu inference server")
+    p.add_argument("--model-var", default="vitlensL",
+                   choices=["vitlensL", "vitlensB"])
+    p.add_argument("--modalities", nargs="+", default=["image", "text"])
+    p.add_argument("--ckpt", action="append", default=[],
+                   help="modality=path (repeatable); use all=path for merged")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="coalesce concurrent requests up to this many items "
+                        "per device dispatch (B64 = measured per-chip "
+                        "optimum for ViT-L on v5e)")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="how long a request waits for co-batching company")
+    p.add_argument("--batch-buckets", type=int, nargs="*", default=None,
+                   help="pad device batches to these sizes (one XLA "
+                        "compilation per bucket)")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="shard device batches over an N-chip data mesh "
+                        "(0 = single device)")
+    args = p.parse_args(argv)
+
+    ckpts = {}
+    for spec in args.ckpt:
+        k, _, v = spec.partition("=")
+        ckpts[k] = v
+
+    from vitlens_tpu.api import ViTLens
+    from vitlens_tpu.serve import make_server
+
+    mesh = None
+    if args.data_parallel:
+        from vitlens_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel)
+
+    model = ViTLens(model_var=args.model_var, mesh=mesh,
+                    modality_loaded=list(args.modalities), checkpoints=ckpts,
+                    batch_buckets=args.batch_buckets)
+    srv = make_server(model, host=args.host, port=args.port,
+                      max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    host, port = srv.server_address[:2]
+    print(f"vitlens-serve listening on http://{host}:{port} "
+          f"(modalities={args.modalities})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.encoder.close()
+        srv.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
