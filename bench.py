@@ -1,12 +1,20 @@
 """Benchmark: flagship throughput numbers on the real TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The stdout line is kept COMPACT (<= ~1500 chars) so it survives the round
+driver's 2000-char tail capture (VERDICT r3 item 1 — the r3 line outgrew
+it and the artifact lost its headline metric). Full derivations, comparator
+prose, and per-metric breakdowns are written to BENCH_DETAIL.json instead.
+
 The headline metric is the ViT-L audio-Lens encode (samples/s/chip);
-`extra.sub_metrics` carries every other flagship figure so a regression in
-any of them is visible from this file alone (VERDICT r2 item 2):
+`extra.sub` carries every other flagship figure compactly
+({name: {v, mfu, b}}) so a regression in any of them is visible from the
+round artifact alone (VERDICT r2 item 2):
 
   - pc_encode_b64:      ViT-L pc-Lens encode (FPS+kNN+tokenizer in-graph)
   - bigG_pc_encode_b16: ViT-bigG-14 pc-Lens encode, 2.5 B params single-chip
+  - bigG_pc_encode_b32: same at the measured serving optimum B32 (r3:
+                        133.9/s vs 128.1 at B16; B64 doubles latency +0.7%)
   - train_audio_b128:   tri train step, frozen CLIP towers, full remat
   - train_pc_b64:       same, pc (FPS+kNN in the differentiated graph)
 
@@ -197,9 +205,14 @@ def bench_pc_encode(batch: int, iters: int):
             "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
 
 
-def bench_bigG_pc_encode(batch: int, iters: int):
+def bench_bigG_pc_encode(batches, iters: int):
     """ViT-bigG-14 pc-Lens (vitlensG/OpenShape serving shape): the full
-    2.5 B-param trunk single-chip, bf16 params (~5 GB HBM)."""
+    2.5 B-param trunk single-chip, bf16 params (~5 GB HBM).
+
+    Measures every batch size in `batches` with ONE (expensive, ~2 min)
+    CPU-side param init; returns {batch: result_dict}. B16 is the
+    cross-round comparability key; B32 is the measured serving optimum
+    (r3: 133.9/s vs 128.1 at B16, B64 doubles latency for +0.7%)."""
     from vitlens_tpu.models import layers as L
     from vitlens_tpu.models.vit import vision_tower_apply, vision_tower_init
     from vitlens_tpu.train.openshape import vitlensG_tower_config
@@ -224,39 +237,44 @@ def bench_bigG_pc_encode(batch: int, iters: int):
 
     params = jax.device_put(jax.tree.map(to_bf16, params))
     state = jax.device_put(jax.tree.map(np.asarray, state))
-    pc = jnp.asarray(np.random.RandomState(0).randn(
-        batch, cfg.point.npoints, 6) * 0.3, jnp.float32)
 
     def encode_one(p, s, x):
         f, _ = vision_tower_apply(p, s, x, cfg, compute_dtype=jnp.bfloat16)
         return f
 
-    loop = _chained_encode_loop(encode_one, iters)
-    t0 = time.time()
-    _fence(loop(params, state, pc))
-    compile_s = time.time() - t0
-    sps = _time_best(loop, (params, state, pc), batch * iters)
     # bigG trunk skips the first 16 of 48 layers at APPLY time (OpenShape
     # recipe; transformer() slices the stacked blocks) — the effective
     # scanned depth is what the scan correction must use
     layers = (int(jax.tree.leaves(params["trunk"]["blocks"])[0].shape[0])
               - (cfg.skip_first_n_layers or 0))
-    try:  # a cost-analysis failure must not discard the measured number
-        lat = jnp.zeros((batch, cfg.num_tokens + 1, cfg.arch.width),
-                        jnp.bfloat16)
-        one_layer = jax.tree.map(lambda t: t[0], params["trunk"]["blocks"])
-        fps, deriv = _encode_flops_per_sample(
-            encode_one, (params, state, pc), one_layer,
-            lambda p: L.resblock(lat, p, cfg.arch.heads, L.gelu),
-            layers, batch)
-    except Exception:
-        fps, deriv = 0.0, {}
-    out = {"value": round(sps, 2), "unit": "samples/s/chip",
-           "batch": batch, "compile_s": round(compile_s, 1),
-           "gflops_per_sample": round(fps / 1e9, 1),
-           "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
-    del params, state, loop
-    return out
+    results = {}
+    for batch in batches:
+        pc = jnp.asarray(np.random.RandomState(0).randn(
+            batch, cfg.point.npoints, 6) * 0.3, jnp.float32)
+        loop = _chained_encode_loop(encode_one, iters)
+        t0 = time.time()
+        _fence(loop(params, state, pc))
+        compile_s = time.time() - t0
+        sps = _time_best(loop, (params, state, pc), batch * iters)
+        try:  # a cost-analysis failure must not discard the measured number
+            lat = jnp.zeros((batch, cfg.num_tokens + 1, cfg.arch.width),
+                            jnp.bfloat16)
+            one_layer = jax.tree.map(lambda t: t[0],
+                                     params["trunk"]["blocks"])
+            fps, deriv = _encode_flops_per_sample(
+                encode_one, (params, state, pc), one_layer,
+                lambda p: L.resblock(lat, p, cfg.arch.heads, L.gelu),
+                layers, batch)
+        except Exception:
+            fps, deriv = 0.0, {}
+        results[batch] = {
+            "value": round(sps, 2), "unit": "samples/s/chip",
+            "batch": batch, "compile_s": round(compile_s, 1),
+            "gflops_per_sample": round(fps / 1e9, 1),
+            "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
+        del loop
+    del params, state
+    return results
 
 
 def bench_train_step(modality: str, batch: int, iters: int = 6):
@@ -403,7 +421,11 @@ def main() -> int:
             ("pc_encode_b64", lambda: bench_pc_encode(64, 10), 300),
             ("train_audio_b128", lambda: bench_train_step("audio", 128), 600),
             ("train_pc_b64", lambda: bench_train_step("pc", 64), 600),
-            ("bigG_pc_encode_b16", lambda: bench_bigG_pc_encode(16, 5), 700),
+            # one job, two sub-metrics: B16 (cross-round key) + B32 (the
+            # measured serving optimum) share a single ~2 min param init
+            ("bigG_pc_encode", lambda: {
+                f"bigG_pc_encode_b{b}": r
+                for b, r in bench_bigG_pc_encode((16, 32), 5).items()}, 900),
         ]
     for name, fn, need_s in jobs:
         if _remaining() < need_s:
@@ -413,11 +435,59 @@ def main() -> int:
             continue
         _progress(f"{name}: start ({int(_remaining())}s to deadline)")
         try:
-            sub[name] = fn()
-            _progress(f"{name}: {sub[name].get('value')}/s")
+            out = fn()
+            # multi-metric jobs return {name: result}; single ones a result
+            if "value" in out or not all(
+                    isinstance(v, dict) for v in out.values()):
+                sub[name] = out
+                _progress(f"{name}: {out.get('value')}/s")
+            else:
+                sub.update(out)
+                _progress(f"{name}: " + ", ".join(
+                    f"{k}={v.get('value')}/s" for k, v in out.items()))
         except Exception as e:  # noqa: BLE001 - isolate sub-metric failures
             sub[name] = {"error": repr(e)[:300]}
             _progress(f"{name}: ERROR {repr(e)[:120]}")
+
+    headline_mfu = (_mfu(sps, flops_per_sample)
+                    if flops_per_sample > 0 else -1.0)
+    detail = {
+        "metric": "vitL_audio_lens_encode_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / a100_equiv, 3),
+        "batch": batch,
+        "iters": iters,
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+        "compute_dtype": "bfloat16",
+        "gflops_per_sample": round(flops_per_sample / 1e9, 1),
+        "v5e_mfu_pct": headline_mfu,
+        "a100_same_model_50mfu_samples_s": round(a100_equiv, 1),
+        "a100_comparator": (
+            "A100 bf16 peak 312e12 * assumed 0.5 MFU / "
+            "flops_per_sample; see flops_derivation"),
+        "flops_derivation": flops_derivation,
+        "shape_ceiling_evidence": "scripts/microbench.py",
+        "sub_metrics": sub,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        _progress(f"BENCH_DETAIL.json write failed: {e!r}")
+
+    # stdout: ONE compact line (<= ~1500 chars incl. all sub-metrics) so the
+    # driver's 2000-char tail capture parses it; everything verbose lives in
+    # BENCH_DETAIL.json
+    def _compact(d):
+        if "value" in d:
+            return {"v": d["value"], "mfu": d.get("v5e_mfu_pct", -1.0),
+                    "b": d.get("batch")}
+        if "skipped" in d:
+            return {"skip": 1}
+        return {"err": d.get("error", "?")[:80]}
 
     print(
         json.dumps(
@@ -428,23 +498,12 @@ def main() -> int:
                 "vs_baseline": round(sps / a100_equiv, 3),
                 "extra": {
                     "batch": batch,
-                    "iters": iters,
-                    "compile_s": round(compile_s, 1),
-                    "device": str(jax.devices()[0]),
-                    "compute_dtype": "bfloat16",
-                    "gflops_per_sample": round(flops_per_sample / 1e9, 1),
-                    "v5e_mfu_pct": (
-                        _mfu(sps, flops_per_sample)
-                        if flops_per_sample > 0 else -1.0),
-                    "a100_same_model_50mfu_samples_s": round(a100_equiv, 1),
-                    "a100_comparator": (
-                        "A100 bf16 peak 312e12 * assumed 0.5 MFU / "
-                        "flops_per_sample; see flops_derivation"),
-                    "flops_derivation": flops_derivation,
-                    "shape_ceiling_evidence": "scripts/microbench.py",
-                    "sub_metrics": sub,
+                    "mfu": headline_mfu,
+                    "sub": {k: _compact(v) for k, v in sub.items()},
+                    "detail": "BENCH_DETAIL.json",
                 },
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0
