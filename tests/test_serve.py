@@ -4,13 +4,16 @@ is in-process only, vitlens.py:21-189)."""
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
 import numpy as np
 import pytest
 
-from vitlens_tpu.serve import BatchingEncoder, make_server
+from vitlens_tpu.serve import (
+    BatchingEncoder, ServerOverloadedError, _decode_items, make_server,
+)
 
 
 class _FakeModel:
@@ -46,7 +49,8 @@ def test_batching_coalesces_concurrent_requests():
         np.testing.assert_array_equal(results["b"][:, 0], [4.0])
         # both requests rode ONE device dispatch
         assert model.batch_sizes == [3]
-        assert enc.stats == {"requests": 2, "batches": 1, "items": 3}
+        assert {k: enc.stats[k] for k in ("requests", "batches", "items")} \
+            == {"requests": 2, "batches": 1, "items": 3}
     finally:
         enc.close()
 
@@ -92,6 +96,202 @@ def test_batching_error_and_validation():
             enc.encode("text", ["x"])
     finally:
         enc.close()
+
+
+class _SlowModel(_FakeModel):
+    """Fake device with a fixed per-batch latency, for overload tests."""
+
+    def __init__(self, batch_s=0.2):
+        super().__init__()
+        self.batch_s = batch_s
+
+    def encode(self, inputs, normalize=False):
+        time.sleep(self.batch_s)
+        return super().encode(inputs, normalize)
+
+
+def test_decode_items_numeric_is_list_of_arrays():
+    out = _decode_items([[1.0, 2.0], [3.0, 4.0]])
+    assert isinstance(out, list) and len(out) == 2
+    assert all(isinstance(a, np.ndarray) and a.dtype == np.float32
+               for a in out)
+    assert _decode_items(["a", "b"]) == ["a", "b"]
+
+
+def test_encode_accepts_ndarray_items():
+    model = _FakeModel()
+    model.encode = lambda inputs, normalize=False: {
+        "text": np.stack([np.asarray([a.sum(), 1.0], np.float32)
+                          for a in next(iter(inputs.values()))])}
+    enc = BatchingEncoder(model, max_wait_ms=1)
+    try:
+        feats = enc.encode("text", np.ones((3, 4), np.float32),
+                           normalize=False)
+        np.testing.assert_array_equal(feats[:, 0], [4.0, 4.0, 4.0])
+    finally:
+        enc.close()
+
+
+def test_overload_sheds_instead_of_stalling():
+    """Burst beyond capacity: excess requests get ServerOverloadedError
+    fast; admitted ones complete; the queue never grows unbounded."""
+    model = _SlowModel(batch_s=0.15)
+    enc = BatchingEncoder(model, max_batch=2, max_wait_ms=1,
+                          queue_capacity=4, default_timeout_s=30)
+    try:
+        outcomes = []
+        lock = threading.Lock()
+
+        def ask(i):
+            try:
+                enc.encode("text", [f"req{i}"], normalize=False)
+                out = "ok"
+            except ServerOverloadedError:
+                out = "shed"
+            with lock:
+                outcomes.append(out)
+
+        ts = [threading.Thread(target=ask, args=(i,)) for i in range(12)]
+        t0 = time.monotonic()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        took = time.monotonic() - t0
+        assert outcomes.count("shed") >= 1, outcomes
+        assert outcomes.count("ok") >= 4, outcomes
+        # shedding means total time ~ admitted/throughput, not 12 batches
+        assert took < 12 * model.batch_s, took
+        with enc._lock:
+            assert enc._pending_items == 0  # budget fully released
+        assert enc.stats["rejected"] == outcomes.count("shed")
+    finally:
+        enc.close()
+
+
+def test_timeout_cancels_queued_request():
+    """A timed-out request is skipped by the batcher (never encoded) and
+    its budget is released."""
+    model = _SlowModel(batch_s=0.3)
+    enc = BatchingEncoder(model, max_batch=1, max_wait_ms=1,
+                          queue_capacity=8, default_timeout_s=30)
+    try:
+        # occupy the worker, then queue one request with a tiny timeout
+        t_busy = threading.Thread(
+            target=enc.encode, args=("text", ["busy"]), kwargs={})
+        t_busy.start()
+        time.sleep(0.05)  # busy request now in flight
+        with pytest.raises(TimeoutError):
+            enc.encode("text", ["late"], timeout=0.01)
+        t_busy.join()
+        # give the worker a turn to find + skip the cancelled request
+        enc.encode("text", ["after"])
+        assert enc.stats["cancelled_skipped"] == 1
+        with enc._lock:
+            assert enc._pending_items == 0
+        # "late" was never dispatched: only "busy" and "after" batches ran
+        assert model.batch_sizes == [1, 1]
+    finally:
+        enc.close()
+
+
+def test_nonfitting_request_leads_next_batch():
+    """A request deferred for modality/size reasons is carried to the
+    FRONT of the next batch, not re-queued behind newer arrivals."""
+    model = _SlowModel(batch_s=0.15)
+    enc = BatchingEncoder(model, max_batch=2, max_wait_ms=60,
+                          queue_capacity=64)
+    try:
+        order = []
+        lock = threading.Lock()
+
+        def ask(name, items):
+            enc.encode("text", items, normalize=False)
+            with lock:
+                order.append(name)
+
+        # "big" (2 items) + "deferred" (2 items, doesn't fit with big)
+        t1 = threading.Thread(target=ask, args=("big", ["aa", "bb"]))
+        t1.start()
+        time.sleep(0.02)
+        t2 = threading.Thread(target=ask, args=("deferred", ["cc", "dd"]))
+        t2.start()
+        time.sleep(0.02)
+        t3 = threading.Thread(target=ask, args=("newer", ["ee", "ff"]))
+        t3.start()
+        for t in (t1, t2, t3):
+            t.join()
+        assert order.index("deferred") < order.index("newer"), order
+    finally:
+        enc.close()
+
+
+def test_http_numeric_inputs_accepted():
+    """ADVICE r3 (medium): the documented nested-list (raw array) request
+    form must not be rejected with 400."""
+    model = _FakeModel()
+    srv = make_server(model, port=0, max_batch=8, max_wait_ms=1)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    port = srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/encode",
+            data=json.dumps({"inputs": {"text": [[1.0, 2.0], [3.0, 4.0]]},
+                             "normalize": False}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        emb = np.asarray(out["embeddings"]["text"])
+        assert emb.shape == (2, 2)  # one row per item, not 400
+    finally:
+        srv.shutdown()
+        srv.encoder.close()
+        srv.server_close()
+
+
+def test_http_overload_returns_503():
+    model = _SlowModel(batch_s=0.3)
+    srv = make_server(model, port=0, max_batch=1, max_wait_ms=1,
+                      queue_capacity=2, default_timeout_s=30)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    port = srv.server_address[1]
+    try:
+        codes = []
+        lock = threading.Lock()
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/encode",
+                data=json.dumps(
+                    {"inputs": {"text": [f"x{i}"]}}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req) as r:
+                    codes.append((200, json.loads(r.read())["dim"]))
+            except urllib.error.HTTPError as e:
+                with lock:
+                    codes.append((e.code, None))
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        got = [c for c, _ in codes]
+        assert got.count(503) >= 1, got
+        assert got.count(200) >= 2, got
+        # healthz exposes the shed counter
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            stats = json.loads(r.read())["stats"]
+        assert stats["rejected"] == got.count(503)
+        assert stats["pending_items"] == 0
+    finally:
+        srv.shutdown()
+        srv.encoder.close()
+        srv.server_close()
 
 
 @pytest.fixture(scope="module")

@@ -11,6 +11,13 @@ compilation per bucket) and `ViTLens(mesh=...)` (batches sharded over a
 data mesh), capacity scales by adding chips while every dispatch stays at
 an efficient batch size.
 
+Overload behavior: admission is bounded by a pending-item budget
+(`queue_capacity`, default 4x max_batch). A burst beyond device throughput
+is REJECTED with `ServerOverloadedError` -> HTTP 503 instead of growing an
+unbounded queue, and every request carries a default timeout -> HTTP 504,
+so handler threads never block forever. Timed-out requests are marked
+cancelled and skipped by the batcher rather than wasting device compute.
+
 Endpoints (JSON):
   GET  /healthz     -> {"status": "ok", "modalities": [...], "device": ...}
   POST /v1/encode   -> body {"inputs": {modality: [item, ...]},
@@ -37,6 +44,10 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 
+class ServerOverloadedError(RuntimeError):
+    """Pending-item budget exhausted; shed load (HTTP 503)."""
+
+
 @dataclass
 class _Pending:
     modality: str
@@ -45,6 +56,9 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
+    # set by the waiting client on timeout; the batcher skips (and never
+    # encodes) a cancelled request that is still queued
+    cancelled: bool = False
 
 
 class BatchingEncoder:
@@ -58,14 +72,30 @@ class BatchingEncoder:
     asked for it — identical to in-model normalization (both normalize
     the final pooled embedding), and it lets mixed normalize flags share
     a batch.
+
+    Backpressure: at most `queue_capacity` items (default 4x max_batch)
+    may be pending (queued or in flight); `encode` raises
+    ServerOverloadedError beyond that. Each call also has a default
+    timeout so callers cannot block indefinitely behind a wedged device.
     """
 
-    def __init__(self, model, max_batch: int = 64, max_wait_ms: float = 5.0):
+    def __init__(self, model, max_batch: int = 64, max_wait_ms: float = 5.0,
+                 queue_capacity: Optional[int] = None,
+                 default_timeout_s: float = 60.0):
         self.model = model
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        self.queue_capacity = int(queue_capacity if queue_capacity is not None
+                                  else 4 * self.max_batch)
+        self.default_timeout_s = float(default_timeout_s)
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "items": 0}
+        # a non-fitting request is held here (NOT re-queued at the tail)
+        # and leads the next batch — no reordering behind newer arrivals
+        self._carry: Optional[_Pending] = None
+        self._lock = threading.Lock()  # guards stats + _pending_items
+        self._pending_items = 0
+        self.stats = {"requests": 0, "batches": 0, "items": 0,
+                      "rejected": 0, "timeouts": 0, "cancelled_skipped": 0}
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="vitlens-serve-batcher")
         self._worker.start()
@@ -78,12 +108,30 @@ class BatchingEncoder:
         if modality not in self.model.modalities:
             raise KeyError(f"modality {modality!r} not loaded; "
                            f"have {self.model.modalities}")
+        if isinstance(items, np.ndarray):
+            # raw-array batch (e.g. _decode_items legacy callers): split
+            # into per-item arrays so len()/extend()/row-slicing hold
+            items = list(items)
         if not isinstance(items, (list, tuple)) or not items:
             raise ValueError("items must be a non-empty list")
+        if timeout is None:
+            timeout = self.default_timeout_s
+        with self._lock:
+            if self._pending_items + len(items) > self.queue_capacity:
+                self.stats["rejected"] += 1
+                raise ServerOverloadedError(
+                    f"server overloaded: {self._pending_items} items pending "
+                    f"(capacity {self.queue_capacity})")
+            self._pending_items += len(items)
+            self.stats["requests"] += 1
         p = _Pending(modality, items, bool(normalize))
-        self.stats["requests"] += 1
         self._q.put(p)
         if not p.done.wait(timeout):
+            # leave the budget to the worker: it releases the items when it
+            # skips the cancelled request (or finishes the in-flight batch)
+            p.cancelled = True
+            with self._lock:
+                self.stats["timeouts"] += 1
             raise TimeoutError("encode timed out")
         if p.error is not None:
             raise p.error
@@ -95,10 +143,35 @@ class BatchingEncoder:
 
     # -- worker side --------------------------------------------------------
 
+    def _release(self, *pendings: _Pending) -> None:
+        with self._lock:
+            for p in pendings:
+                self._pending_items -= len(p.items)
+
+    def _next_live(self, block: bool) -> Optional[_Pending]:
+        """Pop the carry slot or the queue, skipping cancelled requests
+        (releasing their budget). Returns None on shutdown/empty."""
+        while True:
+            if self._carry is not None:
+                p, self._carry = self._carry, None
+            else:
+                try:
+                    p = self._q.get(block=block)
+                except queue.Empty:
+                    return None
+            if p is None:
+                return None
+            if p.cancelled:
+                self._release(p)
+                with self._lock:
+                    self.stats["cancelled_skipped"] += 1
+                continue
+            return p
+
     def _collect(self) -> List[_Pending]:
         """One blocking get, then drain everything that lands within the
         coalescing window (same modality, staying under max_batch)."""
-        first = self._q.get()
+        first = self._next_live(block=True)
         if first is None:
             return []
         group, n = [first], len(first.items)
@@ -114,9 +187,14 @@ class BatchingEncoder:
             if nxt is None:
                 self._q.put(None)  # re-deliver shutdown after this batch
                 break
+            if nxt.cancelled:
+                self._release(nxt)
+                with self._lock:
+                    self.stats["cancelled_skipped"] += 1
+                continue
             if (nxt.modality != first.modality
                     or n + len(nxt.items) > self.max_batch):
-                self._q.put(nxt)  # different batch; runs next round
+                self._carry = nxt  # leads the NEXT batch; no tail re-queue
                 break
             group.append(nxt)
             n += len(nxt.items)
@@ -135,8 +213,9 @@ class BatchingEncoder:
                     self.model.encode({group[0].modality: items},
                                       normalize=False)[group[0].modality],
                     dtype=np.float32)
-                self.stats["batches"] += 1
-                self.stats["items"] += len(items)
+                with self._lock:
+                    self.stats["batches"] += 1
+                    self.stats["items"] += len(items)
                 off = 0
                 for p in group:
                     rows = feats[off:off + len(p.items)]
@@ -150,24 +229,32 @@ class BatchingEncoder:
                 for p in group:
                     p.error = e
                     p.done.set()
+            finally:
+                self._release(*group)
 
 
 def _decode_items(raw: Sequence[Any]) -> Sequence[Any]:
     """JSON items: strings pass through (captions / file paths); lists of
-    numbers become one stacked array batch (pre-processed raw inputs)."""
+    numbers become a list of per-item float32 arrays (pre-processed raw
+    inputs) — a LIST, not one stacked ndarray, so the batcher's
+    len()/extend()/row accounting treats each array as one item."""
     if all(isinstance(x, str) for x in raw):
         return list(raw)
-    return np.asarray(raw, dtype=np.float32)
+    return [np.asarray(x, dtype=np.float32) for x in raw]
 
 
 def make_server(model, host: str = "127.0.0.1", port: int = 0,
                 max_batch: int = 64,
-                max_wait_ms: float = 5.0) -> ThreadingHTTPServer:
+                max_wait_ms: float = 5.0,
+                queue_capacity: Optional[int] = None,
+                default_timeout_s: float = 60.0) -> ThreadingHTTPServer:
     """Build (don't start) the HTTP server. `serve_forever()` to run;
     `.encoder` carries the batching stats; port 0 picks a free port
     (read it back from `server.server_address`)."""
     encoder = BatchingEncoder(model, max_batch=max_batch,
-                              max_wait_ms=max_wait_ms)
+                              max_wait_ms=max_wait_ms,
+                              queue_capacity=queue_capacity,
+                              default_timeout_s=default_timeout_s)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; observability via /healthz
@@ -186,11 +273,15 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0,
                 return self._reply(404, {"error": "not found"})
             import jax
 
+            enc = self.server.encoder
+            with enc._lock:
+                stats = dict(enc.stats)
+                stats["pending_items"] = enc._pending_items
             self._reply(200, {
                 "status": "ok",
-                "modalities": list(self.server.encoder.model.modalities),
+                "modalities": list(enc.model.modalities),
                 "device": str(jax.devices()[0]),
-                "stats": dict(self.server.encoder.stats),
+                "stats": stats,
             })
 
         def do_POST(self):  # noqa: N802 - http.server API
@@ -208,6 +299,10 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0,
                     out[m] = feats.tolist()
                     dim = int(feats.shape[-1])
                 self._reply(200, {"embeddings": out, "dim": dim})
+            except ServerOverloadedError as e:
+                self._reply(503, {"error": repr(e)})
+            except TimeoutError as e:
+                self._reply(504, {"error": repr(e)})
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": repr(e)})
             except Exception as e:  # noqa: BLE001 - surface as 500, keep serving
