@@ -60,6 +60,106 @@ def test_roundtrip_branch_and_overflow(tmp_path):
         assert keys == sorted(items)
 
 
+def test_three_level_btree_small_pages(tmp_path):
+    """Deep tree (VERDICT r3 item 6): psize=512 forces ~2 entries/leaf, so
+    500 entries need leaf -> branch -> branch-root = depth >= 3; every key
+    must still resolve through the multi-level descent."""
+    rng = np.random.RandomState(1)
+    items = {f"k{i:05d}".encode(): bytes(rng.randint(0, 256, 100, np.uint8))
+             for i in range(500)}
+    path = os.path.join(str(tmp_path), "deep")
+    lmdb_reader.write_lmdb(path, items, psize=512)
+
+    env = lmdb_reader.open(path)
+    st = env.stat()
+    assert st["psize"] == 512
+    assert st["depth"] >= 3, st
+    assert st["branch_pages"] > 1  # more than one branch page => multilevel
+    assert st["entries"] == 500
+    with env.begin() as txn:
+        for k, v in items.items():
+            assert txn.get(k) == v, k
+        # misses that land between existing keys at every level
+        for probe in (b"k00000\x00", b"k00250a", b"a", b"z", b"k99999"):
+            assert txn.get(probe) is None, probe
+        assert [k for k, _ in txn.cursor()] == sorted(items)
+
+
+@pytest.mark.parametrize("psize", [512, 2048, 8192, 16384])
+def test_nondefault_page_sizes(tmp_path, psize):
+    """The meta-probe must find the right page size without being told."""
+    rng = np.random.RandomState(psize)
+    items = {f"key{i}".encode(): bytes(rng.randint(0, 256, 64, np.uint8))
+             for i in range(40)}
+    # plus one overflow value sized past this psize
+    items[b"huge"] = bytes(rng.randint(0, 256, psize * 2 + 7, np.uint8))
+    path = os.path.join(str(tmp_path), f"ps{psize}")
+    lmdb_reader.write_lmdb(path, items, psize=psize)
+    env = lmdb_reader.open(path)
+    assert env.stat()["psize"] == psize
+    with env.begin() as txn:
+        for k, v in items.items():
+            assert txn.get(k) == v, (psize, k)
+
+
+def test_overflow_values_at_page_boundaries(tmp_path):
+    """Values sized exactly at / one off the overflow-page payload capacity
+    (psize - 16-byte header) and exact page multiples — the chain length and
+    the final partial page are all edge cases."""
+    psize = 4096
+    cap = psize - 16  # one overflow page's payload
+    sizes = [cap - 1, cap, cap + 1, 2 * cap - 1, 2 * cap, 2 * cap + 1,
+             psize, 2 * psize, 3 * cap + 5]
+    rng = np.random.RandomState(2)
+    items = {f"v{i:02d}".encode(): bytes(rng.randint(0, 256, s, np.uint8))
+             for i, s in enumerate(sizes)}
+    path = os.path.join(str(tmp_path), "ovf")
+    lmdb_reader.write_lmdb(path, items, psize=psize)
+    env = lmdb_reader.open(path)
+    with env.begin() as txn:
+        for k, v in items.items():
+            got = txn.get(k)
+            assert got == v, (k, len(got), len(v))
+    # every one of these is F_BIGDATA: overflow page count must match the
+    # ceil((header+payload)/psize) sum
+    import math
+    want = sum(math.ceil((16 + s) / psize) for s in sizes)
+    assert env.stat()["overflow_pages"] == want
+
+
+def test_near_capacity_keys_split_pages(tmp_path):
+    """Long keys (near the ~half-page node cap) force one node per leaf and
+    wide separators in the branch level; lookup and order must hold."""
+    psize = 4096
+    rng = np.random.RandomState(3)
+    items = {}
+    for i in range(24):
+        # ~1700-byte keys: node = 8 + klen + vlen stays under psize/2 rule
+        key = (f"{i:04d}".encode() + bytes(rng.randint(97, 123, 1700,
+                                                       np.uint8)))
+        items[key] = f"value-{i}".encode()
+    path = os.path.join(str(tmp_path), "bigkeys")
+    lmdb_reader.write_lmdb(path, items, psize=psize)
+    env = lmdb_reader.open(path)
+    st = env.stat()
+    assert st["leaf_pages"] >= 12  # at most 2 such nodes per page
+    assert st["depth"] >= 2
+    with env.begin() as txn:
+        for k, v in items.items():
+            assert txn.get(k) == v
+        assert [k for k, _ in txn.cursor()] == sorted(items)
+
+
+def test_empty_db(tmp_path):
+    path = os.path.join(str(tmp_path), "empty")
+    lmdb_reader.write_lmdb(path, {})
+    env = lmdb_reader.open(path)
+    assert env.stat()["entries"] == 0
+    with env.begin() as txn:
+        assert txn.get(b"anything") is None
+        assert list(txn.cursor()) == []
+
+
 def test_rejects_non_lmdb_file(tmp_path):
     p = os.path.join(str(tmp_path), "junk")
     with open(p, "wb") as f:

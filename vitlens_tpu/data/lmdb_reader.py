@@ -20,9 +20,17 @@ MDB_db, MDB_page, MDB_node; MDB_DATA_VERSION = 1, 64-bit build):
 
 Key order is LMDB's default compare (memcmp, shorter-first on ties).
 
-`write_lmdb` emits the same structures (single branch level) so real-LMDB
-code paths can be exercised in tests without the C library; it is also a
-practical way to pack small pickle datasets into one file.
+`write_lmdb` emits the same structures (multi-level branch trees, overflow
+chains, any power-of-two page size) so real-LMDB code paths can be
+exercised in tests without the C library; it is also a practical way to
+pack small pickle datasets into one file.
+
+KNOWN GAP (PARITY.md): no C-lmdb (py-lmdb/liblmdb) exists anywhere in this
+image and no real .mdb file could be found, so reader and writer have never
+been validated against files the reference toolchain produced — both sides
+are implemented from the LMDB 0.9 sources independently, and the tests
+exercise adversarial structure (deep trees, odd page sizes, page-boundary
+values) rather than byte-golden files.
 
 API subset mirrors py-lmdb: `open(path, ...)` -> Environment with
 `begin()`/`stat()`; Transaction with `get`/`stat`/`cursor`.
@@ -272,10 +280,10 @@ def open(path: str, **kwargs) -> Environment:  # noqa: A001 - py-lmdb API
 
 def write_lmdb(path: str, items: Dict[bytes, bytes],
                psize: int = 4096) -> None:
-    """Write a read-only LMDB data file: sorted leaf pages, one optional
-    branch root, overflow chains for values that don't fit a node. Node
-    capacity rule matches mdb.c (a node may use at most ~half a page;
-    bigger data goes to overflow pages)."""
+    """Write a read-only LMDB data file: sorted leaf pages, as many branch
+    levels as the fan-out requires, overflow chains for values that don't
+    fit a node. Node capacity rule matches mdb.c (a node may use at most
+    ~half a page; bigger data goes to overflow pages)."""
     entries = sorted(items.items(), key=lambda kv: kv[0])
     max_node_data = psize // 2 - 100  # conservative vs MDB_MAXKEYSIZE rules
 
@@ -356,12 +364,39 @@ def write_lmdb(path: str, items: Dict[bytes, bytes],
         final_leaves.append([fixed[fi + j][0] for j in range(len(nodes))])
         fi += len(nodes)
 
-    branch_pgno = None
-    depth = 1
-    if len(final_leaves) > 1:
-        branch_pgno = next_pgno
-        next_pgno += 1
-        depth = 2
+    # build branch levels bottom-up until a single root page remains —
+    # supports arbitrarily deep B-trees (depth >= 3 with small page sizes)
+    depth = 1 if leaf_pgnos else 0
+    branch_level_pages: List[Tuple[int, List[bytes]]] = []  # (pgno, nodes)
+    n_branch_pages = 0
+    level: List[Tuple[bytes, int]] = [  # (subtree first key, child pgno)
+        (first, pg) for (first, _n), pg in zip(leaf_specs, leaf_pgnos)]
+    while len(level) > 1:
+        pages: List[Tuple[bytes, List[bytes]]] = []  # (first key, nodes)
+        cur_bn: List[bytes] = []
+        cur_bfirst: Optional[bytes] = None
+        cur_bused = PAGEHDRSZ
+        for j, (first, child_pg) in enumerate(level):
+            key = b"" if j == 0 else first  # node 0 key = -inf
+            node = _NODEHDR.pack(child_pg & 0xFFFF, (child_pg >> 16) & 0xFFFF,
+                                 (child_pg >> 32) & 0xFFFF, len(key)) + key
+            need = 2 + len(node) + (len(node) & 1)
+            if cur_bn and cur_bused + need > psize:
+                pages.append((cur_bfirst, cur_bn))
+                cur_bn, cur_bfirst, cur_bused = [], None, PAGEHDRSZ
+            if cur_bfirst is None:
+                cur_bfirst = first
+            cur_bn.append(node)
+            cur_bused += need
+        if cur_bn:
+            pages.append((cur_bfirst, cur_bn))
+        level = []
+        for first, nodes in pages:
+            branch_level_pages.append((next_pgno, nodes))
+            level.append((first, next_pgno))
+            next_pgno += 1
+        n_branch_pages += len(pages)
+        depth += 1
 
     # serialize
     blob = bytearray()
@@ -371,21 +406,10 @@ def write_lmdb(path: str, items: Dict[bytes, bytes],
         blob += page_bytes(pgno, P_OVERFLOW, [], overflow_count=npg,
                            raw=payload)
         n_overflow_pages += npg
-    if branch_pgno is not None:
-        bnodes = []
-        for i, (first, _nodes) in enumerate(leaf_specs):
-            pg = leaf_pgnos[i]
-            key = b"" if i == 0 else first  # node 0 key = -inf
-            bnodes.append(_NODEHDR.pack(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
-                                        (pg >> 32) & 0xFFFF, len(key)) + key)
-        bpage = page_bytes(branch_pgno, P_BRANCH, bnodes)
-        assert len(bnodes) * 2 + PAGEHDRSZ + sum(
-            len(n) + (len(n) & 1) for n in bnodes) <= psize, \
-            "fixture writer supports a single branch page"
-        blob += bpage
+    for pgno, nodes in branch_level_pages:
+        blob += page_bytes(pgno, P_BRANCH, nodes)
 
-    root = (branch_pgno if branch_pgno is not None
-            else (leaf_pgnos[0] if leaf_pgnos else P_INVALID))
+    root = (level[0][1] if level else P_INVALID)
     last_pg = next_pgno - 1 if next_pgno > 2 else 1
     mapsize = max(psize * (last_pg + 1), 1 << 20)
 
@@ -393,8 +417,7 @@ def write_lmdb(path: str, items: Dict[bytes, bytes],
         hdr = struct.pack("<QHHHH", pgno, 0, P_META, 0, 0)
         meta = _META.pack(MAGIC, DATA_VERSION, 0, mapsize)
         db_free = _DB.pack(psize, 0, 0, 0, 0, 0, 0, P_INVALID)
-        db_main = _DB.pack(0, 0, depth if entries else 0,
-                           1 if branch_pgno is not None else 0,
+        db_main = _DB.pack(0, 0, depth, n_branch_pages,
                            len(leaf_pgnos), n_overflow_pages,
                            len(entries), root)
         tail = struct.pack("<QQ", last_pg, txnid)
