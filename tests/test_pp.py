@@ -111,6 +111,41 @@ def test_pp_full_tower_via_pipelined_trunks():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_pp_tail_fn_banks_head_output():
+    """Last-stage tail (ln-free pool+proj stand-in) banked per microbatch:
+    output equals tail(trunk(x)) and the bank is [M, mb, D_out] instead of
+    [M, mb, N, D] — the PP memory-relief path (SCALING.md PP profile)."""
+    p = _trunk(4)
+    x = _x(b=8, n=6)
+    rng = np.random.RandomState(7)
+    W = jnp.asarray(rng.randn(DIM, 16) / np.sqrt(DIM), jnp.float32)
+
+    def tail(h):  # [mb, N, D] -> [mb, 16]
+        return h.mean(axis=1) @ W
+
+    want = tail(transformer(x, p, HEADS, gelu))
+
+    mesh = make_pipe_mesh(n_stages=4, n_data=2,
+                          devices=jax.local_devices(backend="cpu"))
+    p_sharded = shard_trunk_pipeline(p, mesh)
+    got = jax.jit(lambda p, x: pipeline_transformer(
+        x, p, HEADS, gelu, mesh=mesh, n_microbatches=4,
+        tail_fn=tail))(p_sharded, x)
+    assert got.shape == (8, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+
+    # and it differentiates (pipelined backward through the tail)
+    g = jax.jit(jax.grad(lambda p, x: jnp.sum(pipeline_transformer(
+        x, p, HEADS, gelu, mesh=mesh, n_microbatches=4,
+        tail_fn=tail) ** 2)))(p_sharded, x)
+    gw = jax.grad(lambda p, x: jnp.sum(
+        tail(transformer(x, p, HEADS, gelu)) ** 2))(p, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4), g, gw)
+
+
 def test_pp_depth_not_divisible_raises():
     p = _trunk(3)
     mesh = make_pipe_mesh(n_stages=3,

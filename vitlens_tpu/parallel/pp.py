@@ -82,6 +82,7 @@ def pipeline_transformer(
     n_microbatches: int,
     remat: bool = False,
     ln_eps: float = 1e-5,
+    tail_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Drop-in for models/layers.py::transformer over a [data?, pipe] mesh.
 
@@ -90,6 +91,15 @@ def pipeline_transformer(
     Output matches `transformer(x, p, ...)` exactly (same op order per
     microbatch; tests/test_pp.py asserts equality to the single-device
     trunk at fp32).
+
+    Memory note (SCALING.md "PP memory profile"): the banked-output carry is
+    full-batch-sized on EVERY stage — under shard_map every stage runs the
+    same SPMD program, so last-stage-only banking is not expressible; the
+    bank costs B*N*D*2 bytes bf16 per stage. `tail_fn` is the relief: a
+    per-microbatch head (e.g. ln_post -> pool -> proj, [mb,N,D] -> [mb,D])
+    applied ON the last stage before banking, shrinking the bank (and the
+    closing psum payload) by ~N x. The returned value is then
+    tail_fn(trunk(x)) per microbatch, shape [B, *tail_shape].
     """
     from vitlens_tpu.models.layers import resblock
 
@@ -119,6 +129,9 @@ def pipeline_transformer(
 
         T = M + n_stages - 1
 
+        def bank(h):
+            return tail_fn(h) if tail_fn is not None else h
+
         def tick(carry, t):
             recv, outputs = carry
             feed = jax.lax.dynamic_index_in_dim(
@@ -128,16 +141,19 @@ def pipeline_transformer(
             # the last stage banks microbatch t-(S-1) once it's real work,
             # not bubble; other stages' buffers are zeroed before the psum
             j = jnp.clip(t - (n_stages - 1), 0, M - 1)
+            banked = bank(out)
             cur = jax.lax.dynamic_index_in_dim(outputs, j, axis=0,
                                                keepdims=False)
             outputs = jax.lax.dynamic_update_index_in_dim(
-                outputs, jnp.where(t >= n_stages - 1, out, cur), j, axis=0)
+                outputs, jnp.where(t >= n_stages - 1, banked, cur), j, axis=0)
             recv = jax.lax.ppermute(
                 out, PIPE_AXIS,
                 [(i, i + 1) for i in range(n_stages - 1)])
             return (recv, outputs), None
 
-        init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
+        bank_shape = jax.eval_shape(bank, x_mb[0])
+        init = (jnp.zeros_like(x_mb[0]),
+                jnp.zeros((M,) + bank_shape.shape, bank_shape.dtype))
         (_, outputs), _ = jax.lax.scan(tick, init, jnp.arange(T))
         # replicate the last stage's banked outputs to every stage so the
         # out_spec stays P(...) over data only (one psum over `pipe`; in a
@@ -154,7 +170,7 @@ def pipeline_transformer(
         out_specs=P(None, batch_sub),
         check_vma=False,
     )(x_mb, p["blocks"])
-    return out.reshape(B, *x.shape[1:])
+    return out.reshape(B, *out.shape[2:])
 
 
 @contextmanager
