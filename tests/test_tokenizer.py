@@ -93,6 +93,32 @@ def test_mojibake_repair():
                                   ours(["a café photo"]))
 
 
+def test_ftfy_deep_encoding_repairs():
+    """The deeper ftfy.fix_encoding heuristics (ftfy fixes.py):
+    restore_byte_a0 (a mojibaked NBSP continuation byte squashed to plain
+    space), decode_inconsistent_utf8 (mixed mojibake + genuine unicode
+    blocks the whole-string round-trip; repair embedded runs), and lossy-
+    sequence collapse (lead char + U+FFFD is unrecoverable)."""
+    from vitlens_tpu.text.tokenizer import fix_text
+
+    # "là?" -> UTF-8 C3 A0 3F -> cp1252 "Ã\xa0?" -> whitespace-normalised
+    # "Ã ?": the space IS the lost NBSP continuation byte
+    assert fix_text("quelque chose lÃ ?") == "quelque chose là?"
+    assert fix_text("Ã bientÃ´t") == "àbientôt"  # == ftfy
+    # mixed: ☕ can't encode to cp1252, so only the runs are repaired
+    assert fix_text("cafÃ© ☕") == "café ☕"
+    assert fix_text("cafÃ© donâ€™t ☕") == "café don't ☕"
+    # 3-byte run embedded next to real unicode (constructed byte-exactly:
+    # cp1252 leaves 0x81 undefined, so the mis-decode goes through latin-1)
+    moji = "あり".encode("utf-8").decode("latin-1")
+    assert fix_text(moji + " ☕") == "あり ☕"
+    # lossy: a continuation byte already lost to U+FFFD collapses
+    assert fix_text("cafÃ� x") == "caf� x"
+    # guards: legitimate text with lead-like chars stays put
+    assert fix_text("Ãrsula vs Münster ☕") == "Ãrsula vs Münster ☕"
+    assert fix_text("A+ ça va? ☕") == "A+ ça va? ☕"
+
+
 def test_ftfy_default_fixers():
     """fix_text reproduces the rest of ftfy.fix_text's DEFAULT fixer set
     (reference tokenizer.py:67-70), not just mojibake: character width,

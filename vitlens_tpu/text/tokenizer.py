@@ -73,9 +73,82 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def _byte_char(b: int) -> str:
+    """The character byte `b` shows up as after a cp1252 mis-decode
+    (latin-1 for the five bytes cp1252 leaves undefined — Python's strict
+    cp1252 raises where ftfy's sloppy-windows-1252 falls through)."""
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(b)
+
+
+def _cls(lo: int, hi: int) -> str:
+    return "".join(re.escape(_byte_char(b)) for b in range(lo, hi + 1))
+
+
+# character classes of mis-decoded UTF-8 lead/continuation bytes.
+# Continuations cover BOTH mis-decodes: cp1252 (0x80-0x9F as punctuation)
+# and latin-1 (the same bytes as raw C1 controls) — ftfy's sloppy codecs
+# accept both spellings too.
+_LEAD2, _LEAD3, _LEAD4 = _cls(0xC2, 0xDF), _cls(0xE0, 0xEF), _cls(0xF0, 0xF4)
+_CONT = "".join(re.escape(c) for c in sorted(
+    {_byte_char(b) for b in range(0x80, 0xC0)}
+    | {chr(b) for b in range(0x80, 0xA0)}))
+# one or more adjacent mojibaked UTF-8 sequences embedded in otherwise-fine
+# text (ftfy UTF8_DETECTOR_RE / decode_inconsistent_utf8, fixes.py)
+_UTF8_SEQ_RE = re.compile(
+    f"(?:[{_LEAD2}][{_CONT}]"
+    f"|[{_LEAD3}][{_CONT}]{{2}}"
+    f"|[{_LEAD4}][{_CONT}]{{3}})+")
 # characters that appear when UTF-8 multi-byte sequences are mis-decoded as
-# cp1252/latin-1 — the mojibake class ftfy most commonly repairs
-_MOJIBAKE_HINTS = frozenset("ÃÂâ€šžŸ")
+# cp1252/latin-1 — every possible mis-decoded lead byte
+_MOJIBAKE_HINTS = frozenset(_byte_char(b) for b in range(0xC2, 0xF5))
+
+# ftfy restore_byte_a0 (fixes.py): a mojibaked NBSP (the 0xA0 continuation
+# byte) is very often squashed to a plain space by later whitespace
+# cleanup; restore it inside would-be UTF-8 sequences before re-decoding.
+# Lead-byte set per ftfy chardata.ALTERED_UTF8_RE (the leads whose
+# codepoints actually pair with 0xA0).
+_ALTERED_UTF8_RE = re.compile(
+    b"[\xc2\xc3\xc5\xce\xd0\xd9] "
+    b"|[\xe0-\xef](?: [\x80-\xbf]|[\x80-\xbf] )"
+    b"|[\xf0-\xf4](?: [\x80-\xbf]{2}|[\x80-\xbf] [\x80-\xbf]"
+    b"|[\x80-\xbf]{2} )")
+
+# ftfy replace_lossy_sequences (conservative subset): a mojibake lead char
+# directly followed by U+FFFD means a continuation byte was already lost
+# to a lossy decode — the sequence is unrecoverable, collapse it to one
+# replacement char. (ftfy also treats '?' as a loss marker under its
+# badness model; '?' is too common in real captions to risk here.)
+_LOSSY_SEQ_RE = re.compile(f"[{_LEAD2}{_LEAD3}{_LEAD4}][{_CONT}]{{0,2}}�+")
+
+
+def _restore_byte_a0(byts: bytes) -> bytes:
+    return _ALTERED_UTF8_RE.sub(
+        lambda m: m.group(0).replace(b" ", b"\xa0"), byts)
+
+
+def _decode_inconsistent_utf8(text: str) -> str:
+    """ftfy decode_inconsistent_utf8: when the WHOLE string cannot round-
+    trip (mixed content — e.g. real emoji next to mojibake), re-decode just
+    the embedded UTF-8-shaped runs. Same shrink-validated acceptance as the
+    full-string path."""
+
+    def fix_one(m: re.Match) -> str:
+        sub = m.group(0)
+        for enc in ("cp1252", "latin-1"):
+            try:
+                byts = sub.encode(enc)
+            except UnicodeEncodeError:
+                continue
+            try:
+                return byts.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+        return sub
+
+    return _UTF8_SEQ_RE.sub(fix_one, text)
 
 
 def _fix_mojibake(text: str) -> str:
@@ -83,20 +156,37 @@ def _fix_mojibake(text: str) -> str:
     cp1252/latin-1 ("cafÃ©" -> "café", "donâ€™t" -> "don’t"). Applied up to
     3x (mojibake nests); a candidate is accepted only when the re-decode
     succeeds AND strictly shrinks the text — a genuine multi-byte UTF-8
-    sequence always does, so legitimate accented text is left alone."""
+    sequence always does, so legitimate accented text is left alone.
+    Deeper ftfy heuristics layered on the same acceptance rule:
+    restore_byte_a0 (squashed NBSP continuation bytes), and
+    decode_inconsistent_utf8 (per-run repair when mixed content blocks the
+    whole-string round-trip)."""
     for _ in range(3):
         if not any(c in _MOJIBAKE_HINTS for c in text):
             return text
+        fixed = None
         for enc in ("cp1252", "latin-1"):
             try:
-                fixed = text.encode(enc).decode("utf-8")
-            except (UnicodeEncodeError, UnicodeDecodeError):
+                byts = text.encode(enc)
+            except UnicodeEncodeError:
                 continue
-            if len(fixed) < len(text):
-                text = fixed
+            for cand in (byts, _restore_byte_a0(byts)):
+                try:
+                    f = cand.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+                if len(f) < len(text):
+                    fixed = f
                 break
-        else:
-            return text
+            if fixed is not None:
+                break
+        if fixed is None:
+            # whole-string round-trip impossible or non-shrinking: repair
+            # embedded runs individually (mixed mojibake + real unicode)
+            fixed = _decode_inconsistent_utf8(text)
+            if fixed == text:
+                return text
+        text = fixed
     return text
 
 
@@ -170,6 +260,8 @@ def fix_text(text: str) -> str:
     if "\x1b" in text:
         text = _TERMINAL_ESCAPE_RE.sub("", text)
     text = _fix_mojibake(text)
+    if "�" in text:
+        text = _LOSSY_SEQ_RE.sub("�", text)
     text = text.translate(_C1_MAP).translate(_LIGATURE_MAP)
     text = text.translate(_WIDTH_MAP)
     text = _SINGLE_QUOTE_RE.sub("'", _DOUBLE_QUOTE_RE.sub('"', text))
