@@ -91,11 +91,15 @@ _INTERPRET = False  # tests flip this to run the kernel on CPU
 
 # Row-tile size. Isolated-op sweep at the ViT-L shapes (r3,
 # scripts/bench_fused_mlp_rows.py): tm=256 beats 512 at both 16448 and
-# 32896 rows; env override for A/B.
+# 32896 rows; env override for A/B. Default flipped 512 -> 256 in r4 after
+# pre-warming the compile cache and re-measuring every flagship figure
+# on-chip at tm=256 (audio 471.8 vs 467, pc 405.3 vs 401, train 121.3/
+# 122.8, bigG 128.5/132.4 — all >= the r3 tm=512 values; /tmp bench log
+# 2026-08-19, recorded in CLAUDE.md).
 def _default_tm() -> int:
     import os
 
-    return int(os.environ.get("VITLENS_FUSED_MLP_TM", "512"))
+    return int(os.environ.get("VITLENS_FUSED_MLP_TM", "256"))
 
 
 def _pallas_fused_mlp(x, lnw, lnb, w1, b1, w2, b2, *, act: str, eps: float,
