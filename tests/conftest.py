@@ -60,10 +60,13 @@ import pytest  # noqa: E402
 
 
 @pytest.fixture(autouse=True)
-def _reset_fused_mlp_switch():
-    """TP placement disables the fused-MLP kernel process-wide
-    (set_fused_mlp_enabled); keep tests order-independent."""
+def _reset_fused_kernel_switches():
+    """TP/FSDP placement disables the fused Pallas kernels process-wide
+    (set_fused_mlp_enabled / set_point_encoder_enabled); keep tests
+    order-independent."""
     yield
     from vitlens_tpu.ops import fused_mlp as _FM
+    from vitlens_tpu.ops import fused_point_encoder as _FPE
 
     _FM._FORCE_DISABLED = False
+    _FPE._FORCE_DISABLED = False

@@ -326,6 +326,22 @@ def point_tokenizer_apply(
         knn_exact=cfg.knn_exact,
     )  # [B,G,M,3], [B,G,3]
 
+    if not train:
+        from vitlens_tpu.ops import fused_point_encoder as fpe
+
+        if (fpe.point_encoder_available()
+                and fpe.point_encoder_applicable(neighborhood, enc)):
+            # whole mini-PointNet in one VMEM-resident Pallas pass (eval
+            # BN); numerics-parity vs the XLA path below in
+            # tests/test_fused_point_encoder.py
+            feat = fpe.fused_point_encoder(neighborhood, enc, s["encoder"])
+            tokens = linear(feat, p["reduce_dim"])
+            pos = linear(
+                gelu(linear(center.astype(tokens.dtype),
+                            p["pos_embed"]["fc1"])),
+                p["pos_embed"]["fc2"])
+            return (tokens, pos), s
+
     h = neighborhood @ enc["conv1"]["w"].astype(pts.dtype) + enc["conv1"]["b"].astype(pts.dtype)
     h, bn1_s = batch_norm(h, enc["bn1"], s["encoder"]["bn1"], train, axis_name=bn_axis_name)
     h = jax.nn.relu(h)
