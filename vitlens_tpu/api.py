@@ -19,6 +19,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from vitlens_tpu.config import make_model_config, image_tower_config
 from vitlens_tpu.data.processors import default_processors
@@ -185,19 +187,31 @@ class ViTLens:
         dt = self.compute_dtype
 
         if entry["kind"] == "text":
-            @jax.jit
             def fn(params, x):
                 return text_tower_apply(params, x, cfg.text,
                                         quick_gelu=cfg.quick_gelu,
                                         compute_dtype=dt)
+
+            specs = (P(), P("data"))
         else:
             tcfg = entry["tower_cfg"]
 
-            @jax.jit
             def fn(params, state, x):
                 feats, _ = vision_tower_apply(params, state, x, tcfg,
                                               compute_dtype=dt)
                 return feats
+
+            specs = (P(), P(), P("data"))
+
+        if self.mesh is not None:
+            # shard_map, not GSPMD jit: encode is row-independent, so the
+            # batch shards manually over `data` with weights replicated.
+            # This keeps the Pallas kernels (fused MLP, FPS, fused point
+            # encoder) valid per-shard — tpu_custom_call has no GSPMD
+            # partitioning rules, so a sharded plain jit could not split it.
+            fn = shard_map(fn, mesh=self.mesh, in_specs=specs,
+                           out_specs=P("data"))
+        fn = jax.jit(fn)
 
         self._jit_cache[m] = fn
         return fn

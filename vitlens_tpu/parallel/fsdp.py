@@ -63,7 +63,18 @@ def fsdp_shardings(tree: Any, mesh: Mesh, *,
 
 def fsdp_place(tree: Any, mesh: Mesh, *, min_elems: int = MIN_ELEMS) -> Any:
     """device_put the tree with FSDP shardings (entry point for TrainState
-    placement before the first `partition="fsdp"` step)."""
+    placement before the first `partition="fsdp"` step).
+
+    Disables the fused Pallas kernels process-wide, like fsdp_tp_place:
+    FSDP shards the very weights the kernels take (e.g. the [1024, 4096]
+    MLP matrices), and GSPMD cannot propagate shardings through the opaque
+    tpu_custom_call — the kernels must not be traced into a GSPMD-jitted
+    FSDP step."""
+    from vitlens_tpu.ops.fused_mlp import set_fused_mlp_enabled
+    from vitlens_tpu.ops.fused_point_encoder import set_point_encoder_enabled
+
+    set_fused_mlp_enabled(False)
+    set_point_encoder_enabled(False)
     return jax.device_put(tree, fsdp_shardings(tree, mesh,
                                                min_elems=min_elems))
 
@@ -115,8 +126,10 @@ def fsdp_tp_place(ts: Any, mesh: Mesh, *, tp_towers=("visual",),
     the fused-MLP kernel process-wide (opaque custom call — GSPMD cannot
     shard through it; see set_fused_mlp_enabled)."""
     from vitlens_tpu.ops.fused_mlp import set_fused_mlp_enabled
+    from vitlens_tpu.ops.fused_point_encoder import set_point_encoder_enabled
 
     set_fused_mlp_enabled(False)
+    set_point_encoder_enabled(False)
     return jax.device_put(
         ts, fsdp_tp_shardings(ts, mesh, tp_towers=tp_towers,
                               min_elems=min_elems))

@@ -68,8 +68,10 @@ def shard_vision_tower(params: Params, mesh: Mesh) -> Params:
     shard through its opaque custom call (SCALING.md), and forgetting the
     env kill-switch would otherwise break every TP run."""
     from vitlens_tpu.ops.fused_mlp import set_fused_mlp_enabled
+    from vitlens_tpu.ops.fused_point_encoder import set_point_encoder_enabled
 
     set_fused_mlp_enabled(False)
+    set_point_encoder_enabled(False)
     specs = vision_tower_specs(params)
     spec_map = {
         _path_str(path): s
