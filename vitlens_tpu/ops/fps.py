@@ -266,13 +266,67 @@ def knn_indices(xyz: jnp.ndarray, query: jnp.ndarray, k: int,
     return idx.astype(jnp.int32)
 
 
-def take_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _take_points_blocked(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Exact row gather as a two-stage one-hot contraction.
+
+    XLA's TPU gather lowers row-by-row: at the flagship grouping shape
+    (B=64, N=8192, J=G*M=16384) it runs ~15 ms ≈ 45x below HBM bandwidth,
+    and the cost is independent of row width — 3-wide, 128-padded and
+    projected-row variants all measure ~15 ms (scripts/
+    bench_gather_variants.py). Reformulated, a gather is two selections:
+    split idx into (hi, lo) = (idx // 128, idx % 128), view points as
+    lane-tiled blocks xb [B, NB, 128, C], then
+      lane select    r[j, k, :] = xb[k, lo_j, :]   — one-hot [J,128] matmul
+                                                     on the MXU (K=128),
+      sublane select out[j, :]  = r[j, hi_j, :]    — masked reduce over the
+                                                     NB block rows.
+    Both one-hots fuse into their consumers (never hit HBM) and the only
+    intermediate is r [B, J, NB, C]. Selection by an exact 1.0 one-hot is
+    bit-exact in every dtype (single nonzero term per sum). Caveat: a
+    non-finite value anywhere in a gathered lane-block poisons the
+    selection (0 * inf = nan); point coordinates are finite.
+    """
+    B, N, C = points.shape
+    J = idx.shape[1]
+    nb = -(-N // 128)
+    if nb * 128 != N:
+        points = jnp.pad(points, ((0, 0), (0, nb * 128 - N), (0, 0)))
+    dt = points.dtype
+    xb = points.reshape(B, nb, 128, C)
+    hi = idx // 128
+    lo = idx - hi * 128
+    v = (lo[:, :, None]
+         == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)).astype(dt)
+    r = jnp.einsum("bjl,bklc->bjkc", v, xb)  # [B, J, NB, C]
+    u = (hi[:, :, None]
+         == jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)).astype(dt)
+    return jnp.einsum("bjk,bjkc->bjc", u, r)
+
+
+def take_points(points: jnp.ndarray, idx: jnp.ndarray,
+                blocked: Optional[bool] = None) -> jnp.ndarray:
     """Batched index_points (reference pointnet_util.py:44-61):
-    points [B, N, C], idx [B, ...] int -> [B, ..., C]. vmap'd take lowers
-    to one XLA gather. Shared by the PNSA tokenizer and the pc baselines."""
+    points [B, N, C], idx [B, ...] int -> [B, ..., C]. Shared by the PNSA
+    tokenizer and the pc baselines.
+
+    On TPU, large float gathers take the blocked one-hot-contraction path
+    (see _take_points_blocked — 45x-off-bandwidth XLA gather avoided);
+    elsewhere a vmap'd take lowers to one XLA gather. Its AD transpose is
+    two einsums (MXU) instead of an XLA scatter, so the train path wins
+    too. Pass blocked= to force either path (tests pin blocked=True on
+    CPU for exactness checks)."""
     B = points.shape[0]
     flat = idx.reshape(B, -1)
-    out = jax.vmap(lambda pts, ind: pts[ind])(points, flat)
+    if blocked is None:
+        from vitlens_tpu.ops.platform import is_tpu_default
+
+        blocked = (is_tpu_default() and flat.shape[1] >= 1024
+                   and points.shape[1] >= 1024
+                   and jnp.issubdtype(points.dtype, jnp.floating))
+    if blocked:
+        out = _take_points_blocked(points, flat.astype(jnp.int32))
+    else:
+        out = jax.vmap(lambda pts, ind: pts[ind])(points, flat)
     return out.reshape(*idx.shape, points.shape[-1])
 
 
@@ -293,10 +347,7 @@ def group_points(
     """
     center = fps(xyz, num_group, start=start, key=key)
     idx = knn_indices(xyz, center, group_size, exact=knn_exact)  # [B, G, M]
-    B, G, M = idx.shape
-    # vmap'd take over the batch axis lowers to a single XLA gather.
-    gathered = jax.vmap(lambda pts, ind: pts[ind])(xyz, idx.reshape(B, G * M))
-    neighborhood = gathered.reshape(B, G, M, xyz.shape[-1])
+    neighborhood = take_points(xyz, idx)  # blocked on TPU — see take_points
     neighborhood = neighborhood - center[:, :, None, :]
     return neighborhood, center
 
