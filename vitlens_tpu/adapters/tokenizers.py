@@ -418,9 +418,15 @@ def pnsa_tokenizer_apply(
     new_xyz = fps(xyz, cfg.num_group, key=fps_key)  # [B,G,3]
     idx = ball_query(xyz, new_xyz, cfg.radius, cfg.group_size,
                      exact=cfg.knn_exact)  # [B,G,M]
-    grouped_xyz = take_points(xyz, idx) - new_xyz[:, :, None, :]
-    grouped_feat = take_points(features, idx)
-    h = jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+    # One gather over [xyz ; features] instead of two: identical math
+    # channel-by-channel (bit-exact), one pass over the gathered blocks on
+    # the TPU blocked-one-hot path (see ops/fps.py::take_points).
+    cat_dt = jnp.promote_types(xyz.dtype, features.dtype)
+    grouped = take_points(
+        jnp.concatenate([xyz.astype(cat_dt), features.astype(cat_dt)],
+                        axis=-1), idx)
+    grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
+    h = jnp.concatenate([grouped_xyz, grouped[..., 3:]], axis=-1)
 
     new_states = []
     for layer_p, layer_s in zip(p["sa"], s["sa"]):
