@@ -35,6 +35,39 @@ def test_train_cli_synthetic(tmp_path):
     assert (tmp_path / "t" / "checkpoints" / "epoch_latest").exists()
 
 
+def test_train_cli_lora(tmp_path):
+    """--lora-rank: trains only the injected factors; the checkpoint carries
+    them and resume restores the identical tree (train/lora.py)."""
+    from vitlens_tpu.cli.train import main
+
+    rc = main([
+        "--modality", "eeg", "--model", "ViT-Tiny-Test",
+        "--dataset-type", "synthetic", "--train-data", "synthetic",
+        "--train-num-samples", "8", "--batch-size", "2", "--epochs", "1",
+        "--warmup", "2", "--precision", "fp32", "--n-tower", "3",
+        "--lora-rank", "2", "--lora-alpha", "4",
+        "--log-every-n-steps", "1", "--logs", str(tmp_path), "--name", "l",
+    ])
+    assert rc == 0
+    rec = json.loads(
+        (tmp_path / "l" / "results.jsonl").read_text().splitlines()[-1])
+    assert np.isfinite(rec["train/loss"])
+
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(
+        str(tmp_path / "l" / "checkpoints" / "epoch_latest"))
+    flat = {"/".join(str(getattr(k, "name", getattr(k, "key", k)))
+                     for k in p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(raw)[0]}
+    scales = [v for k, v in flat.items()
+              if "lora" in k and k.endswith("scale")]
+    assert scales and float(scales[0]) == 2.0  # alpha/rank = 4/2
+    # the factors trained: some lora leaf moved off its init
+    bs = [v for k, v in flat.items() if "lora" in k and k.endswith("/b")]
+    assert bs and any(bool(np.any(np.asarray(v) != 0)) for v in bs)
+
+
 def test_train_cli_synthetic_fsdp(tmp_path):
     """--fsdp: same driver, params/opt stored sharded (2-device CPU mesh)."""
     from vitlens_tpu.cli.train import main

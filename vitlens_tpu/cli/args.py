@@ -83,6 +83,13 @@ class TrainArgs:
     unlock_pos_emb: bool = False
     unlock_trans_first_n_layers: Optional[int] = None
     skip_trans_first_n_layers: Optional[int] = None
+    # LoRA on the Lens tower trunk (train/lora.py, beyond-reference):
+    # rank>0 injects rank-r factors on the trunk matmuls and trains ONLY
+    # them (overrides the visual lock flags for the trunk); alpha defaults
+    # to rank (scale 1). Targets are dotted paths within one resblock.
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+    lora_targets: str = "attn.qkv_w,attn.out_w,mlp.fc.w,mlp.proj.w"
 
     # bookkeeping
     logs: str = "./logs"

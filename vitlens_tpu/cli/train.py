@@ -533,6 +533,20 @@ def _main(argv=None) -> int:
         unlock_pos_emb=args.unlock_pos_emb,
         unlock_trans_first_n_layers=args.unlock_trans_first_n_layers,
     )
+    if args.lora_rank > 0:
+        # LoRA fine-tuning of the Lens tower (train/lora.py): inject rank-r
+        # factors into params["visual"] and train ONLY them — the mask
+        # override supersedes the visual lock flags for this tower.
+        from vitlens_tpu.train.lora import lora_init, lora_mask
+
+        params = dict(params)
+        params["visual"] = dict(params["visual"])
+        params["visual"]["lora"] = lora_init(
+            jax.random.PRNGKey(args.seed + 17), params["visual"],
+            args.lora_rank, alpha=args.lora_alpha,
+            targets=tuple(t for t in args.lora_targets.split(",") if t))
+        mask = dict(mask)
+        mask["visual"] = lora_mask(params["visual"])
     log_param_census(params, mask)
 
     if args.visual_stat_flops:

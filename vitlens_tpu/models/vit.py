@@ -134,6 +134,16 @@ def vision_tower_apply(
 
     With output_tokens=True returns ((pooled, tokens), new_state) like the
     reference output_tokens path (transformer.py:784-787)."""
+    if "lora" in p:
+        # LoRA-adapted tower (train/lora.py): merge W + (alpha/r)·a@b at
+        # entry — one tiny einsum per adapted matmul that XLA fuses with
+        # the consumer's operand load; gradients flow through the merge
+        # into the factors while the base weights stay frozen via the
+        # trainability mask. Beyond-reference (the reference only has the
+        # whole-group lock/unlock zoo, transformer.py:553-627).
+        from vitlens_tpu.train.lora import merge_lora
+
+        p = merge_lora(p)
     if cfg.modality == "audio" and x.ndim == 2:
         # raw waveform input [B, samples]: fbank on-device (fused into the
         # encode graph — the TPU-native alternative to host preprocessing)
