@@ -113,6 +113,28 @@ def test_lora_trains_only_the_factors():
     assert float(ts.params["visual"]["lora"]["scale"]) == 1.0
 
 
+def test_lora_text_tower():
+    """The same lora tree adapts the text tower (merge hook in
+    models/text.py); identity at init, real delta once b is nonzero."""
+    cfg, params, _ = _tower_setup()
+    from vitlens_tpu.models.text import text_tower_apply
+
+    text = np.zeros((2, 8), np.int32)
+    text[:, 0] = 1
+    text[:, -1] = 49
+    base = text_tower_apply(params["text"], jnp.asarray(text), cfg.text)
+
+    txt = dict(params["text"])
+    txt["lora"] = lora_init(jax.random.PRNGKey(7), txt, rank=2)
+    adapted = text_tower_apply(txt, jnp.asarray(text), cfg.text)
+    assert bool(jnp.all(base == adapted))
+
+    txt["lora"] = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim >= 2 else a, txt["lora"])
+    moved = text_tower_apply(txt, jnp.asarray(text), cfg.text)
+    assert not bool(jnp.all(base == moved))
+
+
 def test_lora_mask_structure_and_targets():
     _, params, _ = _tower_setup()
     vis = dict(params["visual"])

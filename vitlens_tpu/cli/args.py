@@ -90,6 +90,7 @@ class TrainArgs:
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     lora_targets: str = "attn.qkv_w,attn.out_w,mlp.fc.w,mlp.proj.w"
+    lora_towers: str = "visual"       # comma list of visual,text
 
     # bookkeeping
     logs: str = "./logs"

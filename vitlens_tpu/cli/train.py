@@ -534,19 +534,23 @@ def _main(argv=None) -> int:
         unlock_trans_first_n_layers=args.unlock_trans_first_n_layers,
     )
     if args.lora_rank > 0:
-        # LoRA fine-tuning of the Lens tower (train/lora.py): inject rank-r
-        # factors into params["visual"] and train ONLY them — the mask
-        # override supersedes the visual lock flags for this tower.
+        # LoRA fine-tuning (train/lora.py): inject rank-r factors into the
+        # selected towers and train ONLY them — the mask override supersedes
+        # those towers' lock flags.
         from vitlens_tpu.train.lora import lora_init, lora_mask
 
         params = dict(params)
-        params["visual"] = dict(params["visual"])
-        params["visual"]["lora"] = lora_init(
-            jax.random.PRNGKey(args.seed + 17), params["visual"],
-            args.lora_rank, alpha=args.lora_alpha,
-            targets=tuple(t for t in args.lora_targets.split(",") if t))
         mask = dict(mask)
-        mask["visual"] = lora_mask(params["visual"])
+        for i, tower in enumerate(
+                t for t in args.lora_towers.split(",") if t):
+            if tower not in ("visual", "text"):
+                raise SystemExit(f"--lora-towers: unknown tower {tower!r}")
+            params[tower] = dict(params[tower])
+            params[tower]["lora"] = lora_init(
+                jax.random.PRNGKey(args.seed + 17 + i), params[tower],
+                args.lora_rank, alpha=args.lora_alpha,
+                targets=tuple(t for t in args.lora_targets.split(",") if t))
+            mask[tower] = lora_mask(params[tower])
     log_param_census(params, mask)
 
     if args.visual_stat_flops:

@@ -45,6 +45,12 @@ def text_tower_apply(
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """text: [B, context_length] int32 token ids -> [B, embed_dim]."""
+    if "lora" in p:
+        # LoRA-adapted text tower (train/lora.py; same merge-at-apply
+        # contract as models/vit.py)
+        from vitlens_tpu.train.lora import merge_lora
+
+        p = merge_lora(p)
     x = jnp.take(p["token_embedding"], text, axis=0).astype(compute_dtype)
     x = x + p["positional_embedding"].astype(compute_dtype)
     mask = causal_mask(cfg.context_length)
