@@ -205,6 +205,48 @@ def bench_pc_encode(batch: int, iters: int):
             "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
 
 
+def bench_image_encode(batch: int, iters: int):
+    """Frozen CLIP ViT-L image tower encode (the anchor tower every tri
+    recipe runs and ViTLens serves for the image modality; conv patch-embed
+    path, 257 tokens)."""
+    from vitlens_tpu.config import make_model_config
+    from vitlens_tpu.models import layers as L
+    from vitlens_tpu.models import tri
+    from vitlens_tpu.models.tri import image_tower_config
+
+    cfg = make_model_config("ViT-L-14", "audio")  # image tower is modality-
+    params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)  # agnostic
+    imgs = jnp.asarray(np.random.RandomState(0).randn(
+        batch, 3, cfg.vision.image_size, cfg.vision.image_size) * 0.5,
+        jnp.float32)
+
+    def encode_one(p, s, x):
+        return tri.encode_image(p, s, x, cfg, normalize=True,
+                                compute_dtype=jnp.bfloat16)
+
+    loop = _chained_encode_loop(encode_one, iters)
+    t0 = time.time()
+    _fence(loop(params, state, imgs))
+    compile_s = time.time() - t0
+    sps = _time_best(loop, (params, state, imgs), batch * iters)
+    try:  # a cost-analysis failure must not discard the measured number
+        icfg = image_tower_config(cfg)
+        lat = jnp.zeros((batch, icfg.num_tokens + 1, icfg.arch.width),
+                        jnp.bfloat16)
+        one_layer = jax.tree.map(lambda t: t[0],
+                                 params["image"]["trunk"]["blocks"])
+        fps, deriv = _encode_flops_per_sample(
+            encode_one, (params, state, imgs), one_layer,
+            lambda p: L.resblock(lat, p, icfg.arch.heads, L.gelu),
+            icfg.arch.layers, batch)
+    except Exception:
+        fps, deriv = 0.0, {}
+    return {"value": round(sps, 2), "unit": "samples/s/chip",
+            "batch": batch, "compile_s": round(compile_s, 1),
+            "gflops_per_sample": round(fps / 1e9, 1),
+            "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
+
+
 def bench_bigG_pc_encode(batches, iters: int):
     """ViT-bigG-14 pc-Lens (vitlensG/OpenShape serving shape): the full
     2.5 B-param trunk single-chip, bf16 params (~5 GB HBM).
@@ -249,13 +291,20 @@ def bench_bigG_pc_encode(batches, iters: int):
               - (cfg.skip_first_n_layers or 0))
     results = {}
     for batch in batches:
-        pc = jnp.asarray(np.random.RandomState(0).randn(
-            batch, cfg.point.npoints, 6) * 0.3, jnp.float32)
-        loop = _chained_encode_loop(encode_one, iters)
-        t0 = time.time()
-        _fence(loop(params, state, pc))
-        compile_s = time.time() - t0
-        sps = _time_best(loop, (params, state, pc), batch * iters)
+        # isolate per-batch failures: a B32 OOM/wedge must not discard the
+        # already-measured B16 cross-round comparability key
+        try:
+            pc = jnp.asarray(np.random.RandomState(0).randn(
+                batch, cfg.point.npoints, 6) * 0.3, jnp.float32)
+            loop = _chained_encode_loop(encode_one, iters)
+            t0 = time.time()
+            _fence(loop(params, state, pc))
+            compile_s = time.time() - t0
+            sps = _time_best(loop, (params, state, pc), batch * iters)
+        except Exception as e:  # noqa: BLE001
+            results[batch] = {"error": repr(e)[:300]}
+            _progress(f"bigG b{batch}: ERROR {repr(e)[:120]}")
+            continue
         try:  # a cost-analysis failure must not discard the measured number
             lat = jnp.zeros((batch, cfg.num_tokens + 1, cfg.arch.width),
                             jnp.bfloat16)
@@ -419,6 +468,7 @@ def main() -> int:
     if os.environ.get("BENCH_SUBMETRICS", "1") != "0":
         jobs = [
             ("pc_encode_b64", lambda: bench_pc_encode(64, 10), 300),
+            ("image_encode_b64", lambda: bench_image_encode(64, 10), 240),
             ("train_audio_b128", lambda: bench_train_step("audio", 128), 600),
             ("train_pc_b64", lambda: bench_train_step("pc", 64), 600),
             # one job, two sub-metrics: B16 (cross-round key) + B32 (the

@@ -29,23 +29,26 @@ ITERS_OP = int(os.environ.get("BENCH_ITERS_OP", "200"))
 ITERS_E2E = int(os.environ.get("BENCH_ITERS_E2E", "10"))
 
 
-def bench(fn, x, iters):
+def bench(fn, x, iters, *extra):
+    # `extra` (params/state trees) ride as jit ARGUMENTS — closing over
+    # them would bake GBs of weights in as constants (CLAUDE.md: that made
+    # lowering pathological and once wedged the chip)
     @jax.jit
-    def loop(x):
+    def loop(x, *extra):
         def body(carry, _):
-            out = fn(carry)
+            out = fn(carry, *extra)
             return carry + 1e-6 * out, out
 
         _, outs = jax.lax.scan(body, x, None, length=iters)
         return outs
 
     t0 = time.time()
-    np.asarray(loop(x))
+    np.asarray(loop(x, *extra))
     comp = time.time() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        np.asarray(loop(x))
+        np.asarray(loop(x, *extra))
         best = min(best, (time.time() - t0) / iters)
     return best, comp
 
@@ -71,15 +74,15 @@ def main() -> int:
     gf = 2 * nb.shape[0] * pt.group_size * (3 * 128 + 128 * 256 + 256 * 512
                                             + 512 * 256) / 1e9
 
-    def run_xla(carry):
-        return jnp.mean(FPE.xla_reference(carry, enc_p, enc_s))
+    def run_xla(carry, p, s):
+        return jnp.mean(FPE.xla_reference(carry, p, s))
 
-    def run_kernel(carry):
-        return jnp.mean(FPE._make_op()(carry, enc_p, enc_s))
+    def run_kernel(carry, p, s):
+        return jnp.mean(FPE._make_op()(carry, p, s))
 
     out = {}
     for name, fn in (("op_xla", run_xla), ("op_kernel", run_kernel)):
-        sec, comp = bench(fn, nb, ITERS_OP)
+        sec, comp = bench(fn, nb, ITERS_OP, enc_p, enc_s)
         out[name] = sec
         print(json.dumps({"stage": name, "ms": round(sec * 1e3, 3),
                           "tflops": round(gf / sec / 1e3, 1),
@@ -91,8 +94,8 @@ def main() -> int:
 
     pc = jnp.asarray(rng.randn(BATCH, pt.npoints, 3) * 0.3, jnp.float32)
 
-    def run_full(carry):
-        f, _ = tri.encode_visual(params, state, carry, cfg, normalize=True,
+    def run_full(carry, p, s):
+        f, _ = tri.encode_visual(p, s, carry, cfg, normalize=True,
                                  compute_dtype=jnp.bfloat16)
         return jnp.mean(f)
 
@@ -102,7 +105,7 @@ def main() -> int:
             os.environ.pop("VITLENS_DISABLE_POINT_ENC_KERNEL", None)
         else:
             os.environ["VITLENS_DISABLE_POINT_ENC_KERNEL"] = env
-        sec, comp = bench(run_full, pc, ITERS_E2E)
+        sec, comp = bench(run_full, pc, ITERS_E2E, params, state)
         out[name] = sec
         print(json.dumps({"stage": name,
                           "ms_per_batch": round(sec * 1e3, 2),

@@ -147,15 +147,10 @@ def test_lora_mask_structure_and_targets():
     assert float(m["lora"]["scale"]) == 0.0
     assert all(float(l) == 0.0 for l in jax.tree.leaves(m["trunk"]))
     # default targets all exist on this arch
+    from vitlens_tpu.train.lora import _get_path
+
     full = lora_init(jax.random.PRNGKey(5), vis, rank=1)
     got = {t for t in DEFAULT_TARGETS
-           if _leaf(full, ("trunk", "blocks") + tuple(t.split("."))) is not None}
+           if _get_path(full, ("trunk", "blocks") + tuple(t.split(".")))
+           is not None}
     assert got == set(DEFAULT_TARGETS)
-
-
-def _leaf(tree, path):
-    for k in path:
-        if not isinstance(tree, dict) or k not in tree:
-            return None
-        tree = tree[k]
-    return tree

@@ -38,6 +38,13 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="shard device batches over an N-chip data mesh "
                         "(0 = single device)")
+    p.add_argument("--request-timeout", type=float, default=600.0,
+                   help="per-request default timeout in seconds; must cover "
+                        "the cold-start XLA compile of each batch-bucket "
+                        "shape (bigG ~2 min), not just steady-state latency")
+    p.add_argument("--queue-capacity", type=int, default=None,
+                   help="max pending items before requests shed with 503 "
+                        "(default 4x max-batch)")
     args = p.parse_args(argv)
 
     ckpts = {}
@@ -58,7 +65,9 @@ def main(argv=None) -> int:
                     modality_loaded=list(args.modalities), checkpoints=ckpts,
                     batch_buckets=args.batch_buckets)
     srv = make_server(model, host=args.host, port=args.port,
-                      max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                      max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                      queue_capacity=args.queue_capacity,
+                      default_timeout_s=args.request_timeout)
     host, port = srv.server_address[:2]
     print(f"vitlens-serve listening on http://{host}:{port} "
           f"(modalities={args.modalities})", flush=True)

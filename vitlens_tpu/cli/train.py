@@ -549,7 +549,7 @@ def _main(argv=None) -> int:
             params[tower]["lora"] = lora_init(
                 jax.random.PRNGKey(args.seed + 17 + i), params[tower],
                 args.lora_rank, alpha=args.lora_alpha,
-                targets=tuple(t for t in args.lora_targets.split(",") if t))
+                targets=tuple(t.strip() for t in args.lora_targets.split(",") if t.strip()))
             mask[tower] = lora_mask(params[tower])
     log_param_census(params, mask)
 

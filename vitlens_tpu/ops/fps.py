@@ -282,9 +282,14 @@ def _take_points_blocked(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
                                                      NB block rows.
     Both one-hots fuse into their consumers (never hit HBM) and the only
     intermediate is r [B, J, NB, C]. Selection by an exact 1.0 one-hot is
-    bit-exact in every dtype (single nonzero term per sum). Caveat: a
-    non-finite value anywhere in a gathered lane-block poisons the
-    selection (0 * inf = nan); point coordinates are finite.
+    bit-exact in every dtype (single nonzero term per sum) — PROVIDED the
+    operands are not rounded first: TPU default matmul precision truncates
+    fp32 operands to bf16 on the MXU, so both einsums pin
+    precision=HIGHEST (fp32 payloads multiply in full precision; bf16
+    payloads are unaffected, so the flagship bf16 paths keep the fast
+    single-pass MXU form). Caveat: a non-finite value anywhere in a
+    gathered lane-block poisons the selection (0 * inf = nan); point
+    coordinates are finite.
     """
     B, N, C = points.shape
     J = idx.shape[1]
@@ -297,10 +302,12 @@ def _take_points_blocked(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     lo = idx - hi * 128
     v = (lo[:, :, None]
          == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)).astype(dt)
-    r = jnp.einsum("bjl,bklc->bjkc", v, xb)  # [B, J, NB, C]
+    r = jnp.einsum("bjl,bklc->bjkc", v, xb,
+                   precision=jax.lax.Precision.HIGHEST)  # [B, J, NB, C]
     u = (hi[:, :, None]
          == jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)).astype(dt)
-    return jnp.einsum("bjk,bjkc->bjc", u, r)
+    return jnp.einsum("bjk,bjkc->bjc", u, r,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def take_points(points: jnp.ndarray, idx: jnp.ndarray,

@@ -245,7 +245,11 @@ def point_encoder_applicable(nb: jnp.ndarray, enc_p: Params) -> bool:
     if nb.dtype != jnp.bfloat16 or nb.ndim != 4:
         return False
     m = nb.shape[2]
-    if m % 8 != 0:
+    # bf16's Mosaic sublane tile is 16 (fp32's is 8): the in-kernel
+    # (tg, M, c) <-> (tg*M, c) collapses are only known-lowerable when M
+    # is a multiple of 16 (flagship M=32 is; M=8/24 would hit a
+    # non-sublane-aligned collapse at compile time, not a fallback)
+    if m % 16 != 0:
         return False
     c1 = enc_p["conv1"]["w"].shape[1]
     c2 = enc_p["conv2"]["w"].shape[1]

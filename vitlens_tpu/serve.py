@@ -81,7 +81,12 @@ class BatchingEncoder:
 
     def __init__(self, model, max_batch: int = 64, max_wait_ms: float = 5.0,
                  queue_capacity: Optional[int] = None,
-                 default_timeout_s: float = 60.0):
+                 default_timeout_s: float = 600.0):
+        # default_timeout_s must cover COLD-START latency, not steady-state:
+        # the first request of a (model, batch-bucket) shape triggers an XLA
+        # compile (bigG ~2 min; first TPU contact can be minutes) — a
+        # steady-state-sized default would 504 every cold-start request
+        # while the device works. Operators tune it via --request-timeout.
         self.model = model
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -247,7 +252,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0,
                 max_batch: int = 64,
                 max_wait_ms: float = 5.0,
                 queue_capacity: Optional[int] = None,
-                default_timeout_s: float = 60.0) -> ThreadingHTTPServer:
+                default_timeout_s: float = 600.0) -> ThreadingHTTPServer:
     """Build (don't start) the HTTP server. `serve_forever()` to run;
     `.encoder` carries the batching stats; port 0 picks a free port
     (read it back from `server.server_address`)."""

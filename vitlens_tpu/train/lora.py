@@ -86,10 +86,14 @@ def lora_init(
     scale = (alpha if alpha is not None else float(rank)) / float(rank)
 
     lora: Params = {"scale": jnp.asarray(scale, jnp.float32)}
+    unmatched = []
     for t in targets:
-        path = t.split(".")
+        path = t.strip().split(".")
         w = _get_path(blocks, path)
         if w is None:
+            # tolerated so one target list serves every arch — but say so:
+            # a typo here would otherwise silently train fewer adapters
+            unmatched.append(t.strip())
             continue
         if w.ndim not in (2, 3):
             raise ValueError(f"lora target {t} has ndim {w.ndim}; "
@@ -103,6 +107,11 @@ def lora_init(
         lora = _set_path(lora, ["trunk", "blocks"] + path, {"a": a, "b": b})
     if "trunk" not in lora:
         raise ValueError(f"no lora target in {targets!r} matched this tower")
+    if unmatched:
+        import logging
+
+        logging.warning(f"lora_init: targets {unmatched} matched nothing in "
+                        "this tower's trunk blocks and were skipped")
     return lora
 
 
