@@ -114,3 +114,44 @@ def test_mesh_sharded_encode_exact(model):
         assert np.asarray(got[k]).shape == np.asarray(want[k]).shape
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    atol=2e-6, err_msg=k)
+
+
+def test_export_merges_lora(model, tmp_path):
+    """A LoRA-fine-tuned tower exports as PLAIN weights (factors folded in,
+    api.export_params merge_lora default) and the reloaded checkpoint
+    reproduces the adapted embeddings without carrying a lora subtree."""
+    import jax.numpy as jnp
+
+    from vitlens_tpu.train.lora import lora_init
+
+    lora_model = ViTLens(model_var="vitlensB",
+                         modality_loaded=["text", "audio"])
+    for m in ("text", "audio"):
+        lora_model._towers[m] = dict(model._towers[m])
+        p = dict(lora_model._towers[m]["params"])
+        lora = lora_init(jax.random.PRNGKey(3), p, rank=2)
+        # nonzero b so the adaptation is a real delta
+        p["lora"] = jax.tree.map(
+            lambda a: a + 0.02 if a.ndim >= 2 else a, lora)
+        lora_model._towers[m]["params"] = p
+        lora_model._place_tower(lora_model._towers[m])
+    lora_model._jit_cache.clear()
+
+    inputs = {ModalityType.TEXT: ["a bird", "sea wave"],
+              ModalityType.AUDIO: [f"{ASSETS}/audio_dog.flac"]}
+    want = lora_model.encode(inputs, normalize=True)
+    base = model.encode(inputs, normalize=True)
+    # the adaptation changed the embeddings...
+    assert not np.allclose(np.asarray(want[ModalityType.TEXT]),
+                           np.asarray(base[ModalityType.TEXT]))
+
+    path = lora_model.export_checkpoint(str(tmp_path / "merged"))
+    exported = lora_model.export_params()
+    assert all("lora" not in p for p in exported.values())
+
+    fresh = ViTLens(model_var="vitlensB", modality_loaded=["text", "audio"])
+    fresh.load_checkpoint(path)
+    got = fresh.encode(inputs, normalize=True)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=2e-6, err_msg=str(k))

@@ -261,12 +261,25 @@ class ViTLens:
 
     # -- checkpoint export (reference vitlens.py:153-159) ------------------
 
-    def export_params(self) -> Dict[str, Any]:
-        return {m: self._towers[m]["params"] for m in self.modalities}
+    def export_params(self, merge_lora: bool = True) -> Dict[str, Any]:
+        """merge_lora=True (default) folds any LoRA factors carried by a
+        fine-tuned tower back into plain weights (train/lora.py), so the
+        export has the exact layout converters/checkpoints expect."""
+        out = {}
+        for m in self.modalities:
+            p = self._towers[m]["params"]
+            if merge_lora and isinstance(p, dict) and "lora" in p:
+                from vitlens_tpu.train.lora import merge_lora as _merge
 
-    def _ckpt_tree(self):
+                p = _merge(p)
+            out[m] = p
+        return out
+
+    def _ckpt_tree(self, merge_lora: bool = False):
+        # merge_lora=False for the LOAD target (the tree must mirror the
+        # live tower structure); export_checkpoint saves merged
         return {
-            "params": self.export_params(),
+            "params": self.export_params(merge_lora=merge_lora),
             "state": {m: self._towers[m]["state"] for m in self.modalities
                       if self._towers[m]["state"] is not None},
         }
@@ -279,7 +292,7 @@ class ViTLens:
 
         from vitlens_tpu.train import checkpoint as C
 
-        C._save_tree(save_path, self._ckpt_tree())
+        C._save_tree(save_path, self._ckpt_tree(merge_lora=True))
         with open(os.path.join(save_path, "vitlens_meta.json"), "w") as f:
             json.dump({"model_var": self.model_var,
                        "modalities": list(self.modalities)}, f)

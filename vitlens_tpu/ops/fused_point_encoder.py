@@ -247,8 +247,9 @@ def point_encoder_applicable(nb: jnp.ndarray, enc_p: Params) -> bool:
     m = nb.shape[2]
     # bf16's Mosaic sublane tile is 16 (fp32's is 8): the in-kernel
     # (tg, M, c) <-> (tg*M, c) collapses are only known-lowerable when M
-    # is a multiple of 16 (flagship M=32 is; M=8/24 would hit a
-    # non-sublane-aligned collapse at compile time, not a fallback)
+    # is a multiple of 16 (M=16 and the flagship M=32 verified bit-exact
+    # on-chip r4; M=8/24 would hit a non-sublane-aligned collapse at
+    # compile time, not a fallback)
     if m % 16 != 0:
         return False
     c1 = enc_p["conv1"]["w"].shape[1]
