@@ -155,3 +155,17 @@ def test_export_merges_lora(model, tmp_path):
     for k in want:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    atol=2e-6, err_msg=str(k))
+
+
+def test_warmup_compiles_every_bucket(model):
+    """warmup() pre-compiles (modality, bucket) encode shapes with zero
+    inputs of the processor-output geometry — the serve CLI runs it at
+    startup so cold requests never pay the XLA compile."""
+    model.warmup(batch_sizes=[2])
+    # and the shapes it generated really are the processor-output shapes
+    x = model._warmup_sample("pc", 2)
+    proc = model.processors["pc"]([f"{ASSETS}/pc_car_0260.npy"])
+    assert x.shape[1:] == np.asarray(proc).shape[1:]
+    a = model._warmup_sample("audio", 2)
+    proc_a = model.processors["audio"]([f"{ASSETS}/audio_dog.flac"])
+    assert a.shape[1:] == np.asarray(proc_a).shape[1:]

@@ -259,6 +259,46 @@ class ViTLens:
         pad = jnp.zeros((bucket - B,) + x.shape[1:], x.dtype)
         return jnp.concatenate([x, pad], axis=0)
 
+    # -- warmup (serving cold-start) ----------------------------------------
+
+    def _warmup_sample(self, m: str, b: int, n_clips: int = 3) -> np.ndarray:
+        """Zero input of the processor-OUTPUT shape for one modality (the
+        same per-modality geometry as the train driver's synthetic spec)."""
+        entry = self._towers[m]
+        if entry["kind"] == "text":
+            return np.zeros((b, entry["cfg"].text.context_length), np.int32)
+        t = entry["tower_cfg"]
+        hw = t.arch.image_size
+        shapes = {
+            "image": (3, hw, hw),
+            "tactile": (3, hw, hw),
+            "depth": (1, hw, hw),
+            "pc": (t.point.npoints, 3) if t.point else None,
+            "audio": ((n_clips, t.audio.target_length, t.audio.mel_bins)
+                      if t.audio else None),
+            "eeg": (t.eeg.chans, t.eeg.time_len) if t.eeg else None,
+            "video": ((t.video.n_frames, 3, hw, hw) if t.video else None),
+        }
+        shape = shapes.get(t.modality if entry["kind"] == "visual" else m)
+        if shape is None:
+            raise ValueError(f"no warmup shape for modality {m!r}")
+        return np.zeros((b,) + shape, np.float32)
+
+    def warmup(self, batch_sizes=None, log=None) -> None:
+        """Pre-compile every (modality, batch-bucket) encode shape with zero
+        inputs so the first real request never pays the XLA compile —
+        cold-start compiles run minutes for big trunks and would otherwise
+        burn request timeouts (serve.py)."""
+        sizes = list(batch_sizes if batch_sizes is not None
+                     else (self.batch_buckets or [1]))
+        for m in self.modalities:
+            for b in sizes:
+                x = self._warmup_sample(m, b)
+                feats = self.encode({m: x}, normalize=True, preprocessed=True)
+                np.asarray(feats[m])  # fence the compile + execute
+                if log:
+                    log(f"warmup {m} b{b} done")
+
     # -- checkpoint export (reference vitlens.py:153-159) ------------------
 
     def export_params(self, merge_lora: bool = True) -> Dict[str, Any]:

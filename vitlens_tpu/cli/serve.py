@@ -45,6 +45,11 @@ def main(argv=None) -> int:
     p.add_argument("--queue-capacity", type=int, default=None,
                    help="max pending items before requests shed with 503 "
                         "(default 4x max-batch)")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   help="skip the startup pre-compile of every (modality, "
+                        "batch-bucket) encode shape (on by default: without "
+                        "it the first request of each shape pays the XLA "
+                        "compile, minutes for big trunks)")
     args = p.parse_args(argv)
 
     ckpts = {}
@@ -64,6 +69,10 @@ def main(argv=None) -> int:
     model = ViTLens(model_var=args.model_var, mesh=mesh,
                     modality_loaded=list(args.modalities), checkpoints=ckpts,
                     batch_buckets=args.batch_buckets)
+    if args.warmup:
+        print("warming up (one compile per modality x batch-bucket)...",
+              flush=True)
+        model.warmup(log=lambda s: print(f"  {s}", flush=True))
     srv = make_server(model, host=args.host, port=args.port,
                       max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                       queue_capacity=args.queue_capacity,
