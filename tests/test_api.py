@@ -169,3 +169,23 @@ def test_warmup_compiles_every_bucket(model):
     a = model._warmup_sample("audio", 2)
     proc_a = model.processors["audio"]([f"{ASSETS}/audio_dog.flac"])
     assert a.shape[1:] == np.asarray(proc_a).shape[1:]
+
+
+def test_infer_cli_main(capsys):
+    """Drive the infer CLI end-to-end (reference example.py workflow,
+    README 'Usage'): file inputs -> ViTLens.encode -> printed softmax
+    similarity matrices. Random weights; asserts structure, not values."""
+    from vitlens_tpu.cli.infer import main
+
+    rc = main([
+        "--model-var", "vitlensB",
+        "--image", f"{ASSETS}/image_bird.jpg", f"{ASSETS}/image_dog.jpg",
+        "--text", "a bird", "a dog", "sea wave",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "image x text softmax" in out
+    block = out.split("softmax", 1)[1]
+    nums = block.replace("[", " ").replace("]", " ").split(":", 1)[1].split()
+    rows = np.array([float(v) for v in nums]).reshape(2, 3)
+    np.testing.assert_allclose(rows.sum(axis=-1), 1.0, atol=1e-4)

@@ -1,8 +1,7 @@
 """RECIPES.md doc-drift guard: every documented CLI command line must parse
 against the real arg parsers (flags renamed or removed would silently rot
 the recipes otherwise). Commands are extracted from the bash code blocks;
-`...` ellipses and line continuations are handled; infer/serve parse inside
-main() and are covered by their own CLI tests."""
+`...` ellipses and line continuations are handled."""
 
 import re
 import shlex
@@ -32,8 +31,12 @@ def test_recipe_command_parses(cmd):
     argv = [a for a in shlex.split(cmd, comments=True)[3:] if a != "..."]
     name = module.rsplit(".", 1)[1]
     if name in ("infer", "serve"):
-        pytest.skip("parser lives inside main(); covered by CLI tests")
-    if name == "train":
+        import importlib
+
+        cli = importlib.import_module(f"vitlens_tpu.cli.{name}")
+        args = cli.build_parser().parse_args(argv)
+        assert args is not None
+    elif name == "train":
         from vitlens_tpu.cli.args import parse_args
 
         args = parse_args(argv)

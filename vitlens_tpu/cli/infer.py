@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("vitlens-tpu inference")
     p.add_argument("--model-var", default="vitlensL",
                    choices=["vitlensL", "vitlensB"])
@@ -29,7 +29,11 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="shard encode batches over an N-chip data mesh "
                         "(0 = single device)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
 
     inputs = {}
     for m in ["image", "audio", "pc", "depth", "tactile", "eeg", "video",

@@ -17,7 +17,7 @@ import argparse
 import sys
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("vitlens-tpu inference server")
     p.add_argument("--model-var", default="vitlensL",
                    choices=["vitlensL", "vitlensB"])
@@ -50,7 +50,11 @@ def main(argv=None) -> int:
                         "batch-bucket) encode shape (on by default: without "
                         "it the first request of each shape pays the XLA "
                         "compile, minutes for big trunks)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
 
     ckpts = {}
     for spec in args.ckpt:
