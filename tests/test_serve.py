@@ -347,3 +347,59 @@ def test_http_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
     assert e.value.code == 404
+
+
+def test_preprocess_overlaps_device_compute():
+    """The two-stage pipeline: host preprocessing of batch N+1 must start
+    while the device stage still computes batch N (serving analogue of the
+    train driver's DevicePrefetcher)."""
+    spans = {"proc": [], "enc": []}
+    lock = threading.Lock()
+
+    class _Timed:
+        modalities = ["text"]
+
+        class _Proc:
+            def __call__(self, items):
+                t0 = time.monotonic()
+                time.sleep(0.25)
+                with lock:
+                    spans["proc"].append((t0, time.monotonic()))
+                return np.asarray([[float(len(s))] for s in items])
+
+        processors = {"text": _Proc()}
+
+        def encode(self, inputs, normalize=False, preprocessed=False):
+            assert preprocessed, "pipeline must hand the device stage arrays"
+            (m, x), = inputs.items()
+            t0 = time.monotonic()
+            time.sleep(0.25)
+            with lock:
+                spans["enc"].append((t0, time.monotonic()))
+            return {m: np.concatenate([x, np.ones_like(x)], axis=-1)}
+
+    enc = BatchingEncoder(_Timed(), max_batch=2, max_wait_ms=1.0)
+    try:
+        results = {}
+
+        def ask(name, items):
+            results[name] = enc.encode("text", items, normalize=False)
+
+        # two groups (max_batch=2 each) so the pipeline has two batches
+        ts = [threading.Thread(target=ask, args=("a", ["xx", "yyy"])),
+              threading.Thread(target=ask, args=("b", ["zzzz", "w"]))]
+        ts[0].start()
+        time.sleep(0.05)  # deterministic batch order: "a" first
+        ts[1].start()
+        for t in ts:
+            t.join()
+
+        np.testing.assert_array_equal(results["a"][:, 0], [2.0, 3.0])
+        np.testing.assert_array_equal(sorted(results["b"][:, 0]), [1.0, 4.0])
+        assert len(spans["proc"]) == 2 and len(spans["enc"]) == 2
+        # preprocess of batch 2 began BEFORE device compute of batch 1 ended
+        enc1_end = spans["enc"][0][1]
+        proc2_start = spans["proc"][1][0]
+        assert proc2_start < enc1_end, (spans, "no overlap")
+    finally:
+        enc.close()
