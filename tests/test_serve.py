@@ -403,3 +403,19 @@ def test_preprocess_overlaps_device_compute():
         assert proc2_start < enc1_end, (spans, "no overlap")
     finally:
         enc.close()
+
+
+def test_healthz_latency_percentiles():
+    """Completed requests feed the rolling latency window exposed by
+    latency_stats() (and /healthz)."""
+    model = _FakeModel()
+    enc = BatchingEncoder(model, max_batch=4, max_wait_ms=1.0)
+    try:
+        assert enc.latency_stats() == {"count": 0}
+        for _ in range(3):
+            enc.encode("text", ["ab"], normalize=False)
+        stats = enc.latency_stats()
+        assert stats["count"] == 3
+        assert 0 <= stats["p50_ms"] <= stats["p95_ms"] <= stats["max_ms"]
+    finally:
+        enc.close()

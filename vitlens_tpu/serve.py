@@ -37,6 +37,7 @@ Stdlib-only (http.server + threads): no framework dependency to gate on.
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
@@ -63,6 +64,8 @@ class _Pending:
     # set by the waiting client on timeout; the batcher skips (and never
     # encodes) a cancelled request that is still queued
     cancelled: bool = False
+    # admission time, for the /healthz latency percentiles
+    t_enqueue: float = 0.0
 
 
 class BatchingEncoder:
@@ -105,6 +108,10 @@ class BatchingEncoder:
         self._pending_items = 0
         self.stats = {"requests": 0, "batches": 0, "items": 0,
                       "rejected": 0, "timeouts": 0, "cancelled_skipped": 0}
+        # rolling window of request latencies (admission -> result ready),
+        # exposed as p50/p95/max via /healthz
+        self._latencies: "collections.deque[float]" = collections.deque(
+            maxlen=512)
         # two-stage pipeline: host preprocessing of batch N+1 (file decode,
         # resample, FPS, tokenization) overlaps device compute of batch N —
         # the serving-side analogue of the train driver's DevicePrefetcher
@@ -143,7 +150,8 @@ class BatchingEncoder:
                     f"(capacity {self.queue_capacity})")
             self._pending_items += len(items)
             self.stats["requests"] += 1
-        p = _Pending(modality, items, bool(normalize))
+        p = _Pending(modality, items, bool(normalize),
+                     t_enqueue=time.monotonic())
         self._q.put(p)
         if not p.done.wait(timeout):
             # leave the budget to the worker: it releases the items when it
@@ -155,6 +163,22 @@ class BatchingEncoder:
         if p.error is not None:
             raise p.error
         return p.result
+
+    def latency_stats(self) -> Dict[str, Any]:
+        """Rolling request-latency percentiles (admission -> result ready)
+        over the last 512 completed requests."""
+        with self._lock:
+            lat = sorted(self._latencies)
+        if not lat:
+            return {"count": 0}
+
+        def q(p: float) -> float:
+            return lat[min(len(lat) - 1, int(p * len(lat)))]
+
+        return {"count": len(lat),
+                "p50_ms": round(q(0.50) * 1e3, 2),
+                "p95_ms": round(q(0.95) * 1e3, 2),
+                "max_ms": round(lat[-1] * 1e3, 2)}
 
     def close(self) -> None:
         self._q.put(None)
@@ -287,9 +311,12 @@ class BatchingEncoder:
                                          if preprocessed else {}))[m],
                     dtype=np.float32)
                 n_items = sum(len(p.items) for p in group)
+                now = time.monotonic()
                 with self._lock:
                     self.stats["batches"] += 1
                     self.stats["items"] += n_items
+                    self._latencies.extend(
+                        now - p.t_enqueue for p in group)
                 off = 0
                 for p in group:
                     rows = feats[off:off + len(p.items)]
@@ -356,6 +383,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0,
                 "modalities": list(enc.model.modalities),
                 "device": str(jax.devices()[0]),
                 "stats": stats,
+                "latency": enc.latency_stats(),
             })
 
         def do_POST(self):  # noqa: N802 - http.server API
