@@ -156,6 +156,17 @@ def test_export_merges_lora(model, tmp_path):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    atol=2e-6, err_msg=str(k))
 
+    # and the LoRA-carrying model restores its OWN export: merged base
+    # weights + factors reset to zero delta == exactly the export
+    lora_model.load_checkpoint(path)
+    for m in ("text", "audio"):
+        assert "lora" in lora_model._towers[m]["params"]
+    again = lora_model.encode(inputs, normalize=True)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(again[k]),
+                                   np.asarray(want[k]),
+                                   atol=2e-6, err_msg=str(k))
+
 
 def test_warmup_compiles_every_bucket(model):
     """warmup() pre-compiles (modality, bucket) encode shapes with zero

@@ -419,3 +419,15 @@ def test_healthz_latency_percentiles():
         assert 0 <= stats["p50_ms"] <= stats["p95_ms"] <= stats["max_ms"]
     finally:
         enc.close()
+
+
+def test_serve_cli_default_buckets():
+    """Default --batch-buckets covers every coalescible batch size up to
+    --max-batch with power-of-2 buckets, so warmup pre-compiles shapes the
+    batcher will actually dispatch (a batch-1-only warmup would leave every
+    coalesced size compiling on live traffic)."""
+    from vitlens_tpu.cli.serve import default_buckets
+
+    assert default_buckets(64) == [1, 2, 4, 8, 16, 32, 64]
+    assert default_buckets(1) == [1]
+    assert default_buckets(48) == [1, 2, 4, 8, 16, 32, 48]

@@ -186,3 +186,20 @@ def test_hf_tokenizer_wrapper(tmp_path):
         get_tokenizer(hf_tokenizer_name=str(tmp_path / "tok")), HFTokenizer)
     with pytest.raises(RuntimeError, match="tokenizer"):
         HFTokenizer(str(tmp_path / "definitely-not-there"))
+
+
+def test_mojibake_badness_guard():
+    """Shrink alone is not acceptance: a valid-but-garbage re-decode that
+    splices a rare-script letter into a Latin word is rejected (ftfy's
+    badness model's role). All three reproduce real false positives of the
+    shrink-only rule (0xDF lead + NBSP/C1 continuation)."""
+    from vitlens_tpu.text.tokenizer import fix_text
+
+    # NBSP after ß: whole-string re-decode 0xDF 0xA0 -> U+07E0 would shrink
+    # (NBSP itself is later collapsed by the tokenizer's whitespace_clean)
+    assert fix_text("weiß\xa0nicht") == "weiß\xa0nicht"
+    assert fix_text("grüß\xa0Gott ☕") == "grüß\xa0Gott ☕"  # per-run path
+    assert fix_text("heiß™") == "heiß™"
+    # ...while genuine multi-script mojibake still repairs
+    assert fix_text("Ð¿Ñ€Ð¸Ð²ÐµÑ‚ world") == "привет world"
+    assert fix_text("Î±Î²Î³") == "αβγ"

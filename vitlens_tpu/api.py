@@ -316,8 +316,8 @@ class ViTLens:
         return out
 
     def _ckpt_tree(self, merge_lora: bool = False):
-        # merge_lora=False for the LOAD target (the tree must mirror the
-        # live tower structure); export_checkpoint saves merged
+        # exports save merged (no "lora" subtree) and loads target the same
+        # merged layout; load_checkpoint re-attaches live LoRA factors after
         return {
             "params": self.export_params(merge_lora=merge_lora),
             "state": {m: self._towers[m]["state"] for m in self.modalities
@@ -339,12 +339,25 @@ class ViTLens:
         return save_path
 
     def load_checkpoint(self, path: str) -> None:
-        """Restore a merged checkpoint written by export_checkpoint."""
+        """Restore a merged checkpoint written by export_checkpoint.
+
+        Exports carry MERGED weights (no "lora" subtree): a tower whose
+        live params carry LoRA factors restores the merged base weights
+        and re-attaches its factors with `b` zeroed (delta == 0), so the
+        restored model equals the export exactly and can continue
+        fine-tuning from it."""
         from vitlens_tpu.train import checkpoint as C
 
-        restored = C._load_tree(path, self._ckpt_tree())
+        restored = C._load_tree(path, self._ckpt_tree(merge_lora=True))
         for m in self.modalities:
-            self._towers[m]["params"] = restored["params"][m]
+            live = self._towers[m]["params"]
+            new_p = restored["params"][m]
+            if isinstance(live, dict) and "lora" in live:
+                from vitlens_tpu.train.lora import reset_lora
+
+                new_p = dict(new_p)
+                new_p["lora"] = reset_lora(live["lora"])
+            self._towers[m]["params"] = new_p
             if m in restored.get("state", {}):
                 self._towers[m]["state"] = restored["state"][m]
             self._place_tower(self._towers[m])

@@ -34,7 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="how long a request waits for co-batching company")
     p.add_argument("--batch-buckets", type=int, nargs="*", default=None,
                    help="pad device batches to these sizes (one XLA "
-                        "compilation per bucket)")
+                        "compilation per bucket); default: powers of 2 up "
+                        "to --max-batch, so every coalesced batch lands on "
+                        "a warmed shape — without buckets each distinct "
+                        "batch size would compile on live traffic")
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="shard device batches over an N-chip data mesh "
                         "(0 = single device)")
@@ -51,6 +54,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "it the first request of each shape pays the XLA "
                         "compile, minutes for big trunks)")
     return p
+
+
+def default_buckets(max_batch: int) -> list:
+    """Powers of 2 up to max_batch (incl.): bounds XLA compiles to
+    ~log2(max_batch)+1 per modality while every coalesced batch size pads
+    onto a warmed shape (rows compute independently in eval) — without
+    buckets, each distinct coalesced size would compile on live traffic,
+    defeating warmup."""
+    buckets, b = [], 1
+    while b < max_batch:
+        buckets.append(b)
+        b *= 2
+    buckets.append(int(max_batch))
+    return buckets
 
 
 def main(argv=None) -> int:
@@ -70,9 +87,17 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(n_data=args.data_parallel)
 
+    buckets = args.batch_buckets
+    if buckets is None:
+        buckets = default_buckets(args.max_batch)
+    elif max(buckets) < args.max_batch:
+        print(f"warning: max(batch-buckets)={max(buckets)} < "
+              f"--max-batch {args.max_batch}: coalesced batches above the "
+              f"top bucket will XLA-compile on live traffic", flush=True)
+
     model = ViTLens(model_var=args.model_var, mesh=mesh,
                     modality_loaded=list(args.modalities), checkpoints=ckpts,
-                    batch_buckets=args.batch_buckets)
+                    batch_buckets=buckets)
     if args.warmup:
         print("warming up (one compile per modality x batch-bucket)...",
               flush=True)

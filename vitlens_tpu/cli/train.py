@@ -541,8 +541,9 @@ def _main(argv=None) -> int:
 
         params = dict(params)
         mask = dict(mask)
-        for i, tower in enumerate(
-                t for t in args.lora_towers.split(",") if t):
+        towers = list(dict.fromkeys(  # strip + dedup, order-preserving
+            t.strip() for t in args.lora_towers.split(",") if t.strip()))
+        for i, tower in enumerate(towers):
             if tower not in ("visual", "text"):
                 raise SystemExit(f"--lora-towers: unknown tower {tower!r}")
             params[tower] = dict(params[tower])

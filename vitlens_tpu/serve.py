@@ -274,15 +274,20 @@ class BatchingEncoder:
         widens the window between collection and dispatch): re-check here so
         a cancelled request never reaches the device. Returns the live
         pendings and x with the cancelled rows removed."""
-        if not any(p.cancelled for p in group):
+        # snapshot the flags ONCE: clients flip p.cancelled concurrently
+        # (encode() on timeout), and reading it per-pass could desync the
+        # kept row indices from the live list (mis-attributed embeddings)
+        # or leak a pending from both lists (budget leak)
+        flags = [p.cancelled for p in group]
+        if not any(flags):
             return group, x
         keep, off = [], 0
-        for p in group:
-            if not p.cancelled:
+        for p, c in zip(group, flags):
+            if not c:
                 keep.extend(range(off, off + len(p.items)))
             off += len(p.items)
-        cancelled = [p for p in group if p.cancelled]
-        live = [p for p in group if not p.cancelled]
+        cancelled = [p for p, c in zip(group, flags) if c]
+        live = [p for p, c in zip(group, flags) if not c]
         with self._lock:
             self.stats["cancelled_skipped"] += len(cancelled)
         self._release(*cancelled)

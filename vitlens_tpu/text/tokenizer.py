@@ -129,6 +129,65 @@ def _restore_byte_a0(byts: bytes) -> bytes:
         lambda m: m.group(0).replace(b" ", b"\xa0"), byts)
 
 
+# -- mini badness model (the role of ftfy badness.py) ----------------------
+# The shrink rule alone has false positives: "weiß\xa0nicht" encodes to
+# cp1252 bytes whose 0xDF 0xA0 decodes as U+07E0 (an NKo letter) — shorter,
+# but garbage spliced into a German word. ftfy rejects such repairs with a
+# badness model; this is a compact equivalent: genuine mojibake carries
+# UTF-8-shaped signatures (lead+continuation runs, squashed-NBSP "Ã "
+# patterns), while a false repair splices rare-script letters into words of
+# another script. A repair is accepted only when it strictly REDUCES
+# badness (in addition to shrinking).
+_A0_SQUASH_HINT_RE = re.compile(
+    "[\xc2\xc3\xc5\xce\xd0\xd9] "
+    f"|[{_LEAD3}](?: [{_CONT}]|[{_CONT}] )"
+    f"|[{_LEAD4}](?: [{_CONT}]{{2}}|[{_CONT}] [{_CONT}]|[{_CONT}]{{2}} )")
+
+
+def _letter_class(ch: str):
+    """Coarse script class for letters (None for non-letters). Han+kana
+    merge (Japanese words mix them); unlisted scripts fall back to their
+    128-codepoint block so different rare scripts never merge."""
+    if not unicodedata.category(ch).startswith("L"):
+        return None
+    o = ord(ch)
+    if o <= 0x02AF or 0x1E00 <= o <= 0x1EFF or 0x2C60 <= o <= 0x2C7F:
+        return "latin"
+    if 0x0370 <= o <= 0x03FF or 0x1F00 <= o <= 0x1FFF:
+        return "greek"
+    if 0x0400 <= o <= 0x052F:
+        return "cyrillic"
+    if (0x2E80 <= o <= 0x9FFF and not 0x3130 <= o <= 0x318F) \
+            or 0xF900 <= o <= 0xFAFF:
+        return "ja"
+    if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF \
+            or 0x3130 <= o <= 0x318F:
+        return "hangul"
+    return o >> 7
+
+
+def _badness(text: str) -> int:
+    score = 0
+    for m in _UTF8_SEQ_RE.finditer(text):
+        score += len(m.group(0))  # mojibake signature, weighted by length
+    score += len(_A0_SQUASH_HINT_RE.findall(text))
+    prev = None
+    for ch in text:
+        cls = _letter_class(ch)
+        if cls is not None:
+            o = ord(ch)
+            # letters from scripts that essentially never appear in caption
+            # corpora (Syriac/Thaana/NKo/Samaritan/Mandaic) — the classic
+            # false-repair output of 0xDC-0xDF leads
+            if 0x0700 <= o <= 0x074F or 0x0780 <= o <= 0x085F:
+                score += 2
+            # a letter spliced directly against a letter of another script
+            if prev is not None and cls != prev:
+                score += 1
+        prev = cls
+    return score
+
+
 def _decode_inconsistent_utf8(text: str) -> str:
     """ftfy decode_inconsistent_utf8: when the WHOLE string cannot round-
     trip (mixed content — e.g. real emoji next to mojibake), re-decode just
@@ -155,8 +214,10 @@ def _fix_mojibake(text: str) -> str:
     """The core ftfy.fix_text repair: UTF-8 bytes that were decoded as
     cp1252/latin-1 ("cafÃ©" -> "café", "donâ€™t" -> "don’t"). Applied up to
     3x (mojibake nests); a candidate is accepted only when the re-decode
-    succeeds AND strictly shrinks the text — a genuine multi-byte UTF-8
-    sequence always does, so legitimate accented text is left alone.
+    succeeds AND strictly shrinks the text AND strictly reduces `_badness`
+    — shrinking alone misfires on e.g. "weiß\\xa0nicht" (0xDF 0xA0 is a
+    valid-but-garbage NKo codepoint); the badness model rejects repairs
+    that splice rare-script letters into another script's words.
     Deeper ftfy heuristics layered on the same acceptance rule:
     restore_byte_a0 (squashed NBSP continuation bytes), and
     decode_inconsistent_utf8 (per-run repair when mixed content blocks the
@@ -175,16 +236,17 @@ def _fix_mojibake(text: str) -> str:
                     f = cand.decode("utf-8")
                 except UnicodeDecodeError:
                     continue
-                if len(f) < len(text):
+                if len(f) < len(text) and _badness(f) < _badness(text):
                     fixed = f
                 break
             if fixed is not None:
                 break
         if fixed is None:
-            # whole-string round-trip impossible or non-shrinking: repair
-            # embedded runs individually (mixed mojibake + real unicode)
+            # whole-string round-trip impossible or rejected: repair
+            # embedded runs individually (mixed mojibake + real unicode),
+            # under the same badness acceptance
             fixed = _decode_inconsistent_utf8(text)
-            if fixed == text:
+            if fixed == text or _badness(fixed) >= _badness(text):
                 return text
         text = fixed
     return text

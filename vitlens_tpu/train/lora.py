@@ -115,6 +115,20 @@ def lora_init(
     return lora
 
 
+def reset_lora(lora: Params) -> Params:
+    """The lora subtree with every `b` zeroed: the adapters contribute a
+    zero delta, so a model that just restored MERGED weights (an
+    `export_checkpoint` artifact) equals the export exactly while keeping
+    trainable factors to continue fine-tuning from it."""
+
+    def rec(node):
+        if _is_ab(node):
+            return {"a": node["a"], "b": jnp.zeros_like(node["b"])}
+        return {k: rec(v) for k, v in node.items()}
+
+    return {k: (v if k == "scale" else rec(v)) for k, v in lora.items()}
+
+
 def _is_ab(node) -> bool:
     return (isinstance(node, dict) and set(node.keys()) == {"a", "b"}
             and not isinstance(node["a"], dict))
