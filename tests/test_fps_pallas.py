@@ -173,3 +173,22 @@ def test_take_points_blocked_respects_idx_rank_and_int_fallback():
     ipts = jnp.asarray(rng.randint(0, 7, size=(2, 2048, 3)), jnp.int32)
     out = F.take_points(ipts, idx)
     assert out.dtype == jnp.int32
+
+
+def test_take_points_blocked_clamps_like_gather():
+    """Out-of-range indices: the blocked one-hot path clamps exactly like
+    XLA gather (the CPU/vmap path) instead of silently returning zero rows
+    — keeps the two backends' semantics identical."""
+    import numpy as np
+
+    from vitlens_tpu.ops.fps import take_points
+
+    pts = jnp.asarray(np.random.RandomState(0).randn(2, 1024 + 5, 3)
+                      .astype(np.float32))[:, :1024]
+    idx = jnp.asarray(
+        np.r_[np.arange(1022), [1023, 1024, 5000, -1]][None].repeat(2, 0))
+    blocked = np.asarray(take_points(pts, idx, blocked=True))
+    gathered = np.asarray(take_points(pts, idx, blocked=False))
+    np.testing.assert_array_equal(blocked, gathered)
+    # the out-of-range rows really clamped to the last row, not zero
+    np.testing.assert_array_equal(blocked[:, -2], np.asarray(pts[:, -1]))

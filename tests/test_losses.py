@@ -186,3 +186,22 @@ def test_distill_token_loss_matches_reference(ref_loss):
     ref = crit.distill_token_loss(torch.from_numpy(v), torch.from_numpy(t)).item()
     ours = float(L.distill_token_loss(jnp.asarray(v), jnp.asarray(t), "cos"))
     assert abs(ours - ref) < 1e-6
+
+
+def test_make_loss_fn_validation():
+    """Misconfigurations raise instead of silently training a different
+    objective (reference create_loss raises on unknown types too,
+    factory.py:819-820)."""
+    with pytest.raises(ValueError, match="unknown contra_loss_type"):
+        L.make_loss_fn(3, "typo_mask")
+    # distill_token is tri-only: dual_fn has no distill branch and would
+    # silently train the plain contrastive objective
+    with pytest.raises(ValueError, match="requires n_tower=3"):
+        L.make_loss_fn(2, "distill_token")
+    # a dual forward missing the anchor key names the problem, not a
+    # NoneType crash deep inside tracing
+    fn = L.make_loss_fn(2, "general")
+    out = {"visual_features": jnp.ones((2, 4)),
+           "logit_scale": jnp.asarray(10.0)}
+    with pytest.raises(KeyError):
+        fn(out)

@@ -19,7 +19,9 @@ htk_compat only reorders the energy bin, which is unused (use_energy=False).
 from __future__ import annotations
 
 import functools
+import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,9 +96,30 @@ def fbank(
             f"T={T} samples < win={win} at {sample_frequency:g} Hz")
 
     x = waveform.astype(jnp.float32)
-    # strided frames [B, num_frames, win]
-    idx = (jnp.arange(num_frames) * shift)[:, None] + jnp.arange(win)[None, :]
-    frames = x[:, idx]
+    # strided frames [B, num_frames, win] WITHOUT a gather: with
+    # g = gcd(win, shift) every frame row is g-aligned, so framing is
+    # win/g static strided slices over the [B, T/g, g] view — pure layout
+    # ops. Measured on-chip (scripts/bench_fbank_framing.py, B=64 AST
+    # shapes): 4.59 vs 4.98 ms/iter for the gather — a modest 8.6% (this
+    # 2D-iota gather does NOT hit the worst-case ~1.1 us/row serial
+    # lowering of the grouping gathers), but the sliced form is static,
+    # fusion-friendly, and never risks that cliff at other geometries.
+    g = math.gcd(win, shift)
+    nslices = win // g
+    if nslices <= 64:
+        t_need = shift * (num_frames - 1) + win  # multiple of g
+        base = x[:, :t_need].reshape(B, t_need // g, g)
+        s = shift // g
+        parts = [
+            jax.lax.slice_in_dim(base, k, k + s * (num_frames - 1) + 1, s,
+                                 axis=1)
+            for k in range(nslices)
+        ]  # each [B, num_frames, g]
+        frames = jnp.stack(parts, axis=2).reshape(B, num_frames, win)
+    else:  # pathological window/shift ratio: fall back to the gather
+        idx = (jnp.arange(num_frames) * shift)[:, None] \
+            + jnp.arange(win)[None, :]
+        frames = x[:, idx]
 
     if remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)

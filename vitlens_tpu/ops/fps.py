@@ -298,6 +298,10 @@ def _take_points_blocked(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         points = jnp.pad(points, ((0, 0), (0, nb * 128 - N), (0, 0)))
     dt = points.dtype
     xb = points.reshape(B, nb, 128, C)
+    # match the CPU/vmap path's jnp indexing semantics (negative wraps
+    # once, out-of-range clamps): an unnormalized index would match NO hi
+    # block here and silently return a zero row
+    idx = jnp.clip(jnp.where(idx < 0, idx + N, idx), 0, N - 1)
     hi = idx // 128
     lo = idx - hi * 128
     v = (lo[:, :, None]

@@ -54,8 +54,19 @@ def init_distributed() -> int:
                 "distributed runtime")
         addr = addr or (f"{env['MASTER_ADDR']}:"
                         f"{env.get('MASTER_PORT', '29500')}")
+        if "RANK" not in env:
+            raise RuntimeError(
+                f"WORLD_SIZE={env['WORLD_SIZE']} but RANK is not set — "
+                "every process needs its torchrun-style rank")
         nproc, pid = int(env["WORLD_SIZE"]), int(env["RANK"])
     elif env.get("SLURM_NTASKS", "1") not in ("", "1"):
+        if not addr:
+            # same loudness as the WORLD_SIZE path: initialize(None, ...)
+            # would fail opaquely or auto-pick an unintended coordinator
+            raise RuntimeError(
+                f"SLURM_NTASKS={env['SLURM_NTASKS']} but "
+                "COORDINATOR_ADDRESS is not set — export it (host:port of "
+                "rank 0) in the sbatch script")
         nproc, pid = int(env["SLURM_NTASKS"]), int(env["SLURM_PROCID"])
     if nproc is not None:
         try:

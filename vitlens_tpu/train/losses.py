@@ -245,6 +245,13 @@ def make_loss_fn(
         raise ValueError(
             f"unknown contra_loss_type {contra_loss_type!r}; expected one "
             f"of {known}")
+    if contra_loss_type == "distill_token" and n_tower != 3:
+        # the distill-token objective is tri-only (reference
+        # TriClipDistillTokenLoss, loss.py:168-231); dual_fn has no distill
+        # branch and would silently train plain contrastive instead
+        raise ValueError(
+            "contra_loss_type='distill_token' requires n_tower=3 "
+            f"(got n_tower={n_tower})")
 
     if n_tower == 3:
         def tri_fn(out: Dict[str, jnp.ndarray], labels=None) -> jnp.ndarray:
@@ -268,7 +275,9 @@ def make_loss_fn(
         return tri_fn
 
     def dual_fn(out: Dict[str, jnp.ndarray], labels=None) -> jnp.ndarray:
-        anchor = out.get("anchor_features")
+        # KeyError (not None-passthrough): a missing anchor would otherwise
+        # crash deep inside jnp tracing with an unrelated message
+        anchor = out["anchor_features"]
         mask = None
         if contra_loss_type == "label_mask" and labels is not None:
             mask = label_mask(labels, labels, axis_name)
