@@ -87,6 +87,10 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True) -> Params:
 
 
 def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    if "w_q" in p:  # int8-quantized serving path (quant.py)
+        from vitlens_tpu.quant import int8_matmul
+
+        return int8_matmul(x, p["w_q"], p["w_s"], p.get("b"))
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
@@ -135,7 +139,12 @@ def mha(
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Self-attention on [B, N, D] with packed qkv."""
-    qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+    if "qkv_w_q" in p:  # int8-quantized serving path (quant.py)
+        from vitlens_tpu.quant import int8_matmul
+
+        qkv = int8_matmul(x, p["qkv_w_q"], p["qkv_w_s"], p["qkv_b"])
+    else:
+        qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
     return _attn_from_qkv(qkv, p, heads, mask)
 
 
@@ -158,6 +167,10 @@ def _attn_from_qkv(
         split_heads(q), split_heads(k), split_heads(v), mask=mask
     )
     o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+    if "out_w_q" in p:  # int8-quantized serving path (quant.py)
+        from vitlens_tpu.quant import int8_matmul
+
+        return int8_matmul(o, p["out_w_q"], p["out_w_s"], p["out_b"])
     return o @ p["out_w"].astype(qkv.dtype) + p["out_b"].astype(qkv.dtype)
 
 
@@ -197,7 +210,7 @@ def resblock(
     # TPU hot path, front half: ln_1 + the packed-qkv projection run as one
     # Pallas kernel with Wqkv VMEM-resident (ops/fused_ln_proj.py; measured
     # 1.07x over the XLA schedule at the ViT-L encode shape).
-    if (fused_ln_proj_available()
+    if ("qkv_w" in p["attn"] and fused_ln_proj_available()
             and fused_ln_proj_applicable(x, p["attn"]["qkv_w"])):
         a = _attn_from_qkv(fused_ln_qkv(x, p["ln_1"], p["attn"], ln_eps),
                            p["attn"], heads, mask)
@@ -211,8 +224,8 @@ def resblock(
     # 1.23x over the XLA schedule at the ViT-L encode shape).
     act_name = ("gelu" if act is gelu
                 else "quick_gelu" if act is quick_gelu else None)
-    if (act_name is not None and fused_mlp_available()
-            and fused_mlp_applicable(x, p, act_name)):
+    if (act_name is not None and "w" in p["mlp"]["fc"]
+            and fused_mlp_available() and fused_mlp_applicable(x, p, act_name)):
         return fused_mlp_block(x, p, act_name, ln_eps)
     h = linear(layer_norm(x, p["ln_2"], ln_eps), p["mlp"]["fc"])
     h = linear(act(h), p["mlp"]["proj"])
