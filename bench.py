@@ -12,6 +12,8 @@ The headline metric is the ViT-L audio-Lens encode (samples/s/chip);
 round artifact alone (VERDICT r2 item 2):
 
   - pc_encode_b64:      ViT-L pc-Lens encode (FPS+kNN+tokenizer in-graph)
+  - image_encode_b64:   frozen CLIP ViT-L image-tower encode (anchor tower)
+  - text_encode_b256:   CLIP text-tower encode (the retrieval query side)
   - bigG_pc_encode_b16: ViT-bigG-14 pc-Lens encode, 2.5 B params single-chip
   - bigG_pc_encode_b32: same at the measured serving optimum B32 (r3:
                         133.9/s vs 128.1 at B16; B64 doubles latency +0.7%)
@@ -247,6 +249,66 @@ def bench_image_encode(batch: int, iters: int):
             "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
 
 
+def bench_text_encode(batch: int, iters: int):
+    """CLIP text-tower encode (77-token captions, 12x512 trunk) — the query
+    side of every retrieval/zero-shot serving deployment. Known shape facts:
+    the vocab-table gather is ~1.1 us/row and NOT fixable by one-hot tricks
+    (CLAUDE.md dead-ends), and D=512 matmuls sit well below the chip's
+    square-shape ceiling, so MFU here is structurally lower than the
+    vision towers'."""
+    from vitlens_tpu.config import make_model_config
+    from vitlens_tpu.models import layers as L
+    from vitlens_tpu.models import tri
+
+    cfg = make_model_config("ViT-L-14", "audio")
+    params, _state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    ids = np.zeros((batch, 77), np.int32)
+    ids[:, 0] = 49406
+    lens = rng.randint(4, 76, size=batch)
+    for i, n in enumerate(lens):
+        ids[i, 1:n] = rng.randint(1, 49405, size=n - 1)
+        ids[i, n] = 49407
+    ids = jnp.asarray(ids)
+
+    def encode_one(p, t):
+        return tri.encode_text(p, t, cfg, normalize=True,
+                               compute_dtype=jnp.bfloat16)
+
+    @jax.jit
+    def loop(p, t):
+        def body(carry, _):
+            f = encode_one(p, carry)
+            # data-dependent int shift (0 at runtime) so iterations chain
+            shift = jnp.isnan(jnp.mean(f)).astype(jnp.int32)
+            return carry + shift, jnp.mean(f)
+
+        _, outs = jax.lax.scan(body, t, None, length=iters)
+        return outs
+
+    t0 = time.time()
+    _fence(loop(params, ids))
+    compile_s = time.time() - t0
+    sps = _time_best(loop, (params, ids), batch * iters)
+    try:  # a cost-analysis failure must not discard the measured number
+        from vitlens_tpu.ops.attention import causal_mask
+
+        lat = jnp.zeros((batch, 77, cfg.text.width), jnp.bfloat16)
+        mask = causal_mask(77)
+        one_layer = jax.tree.map(lambda t: t[0],
+                                 params["text"]["trunk"]["blocks"])
+        fps, deriv = _encode_flops_per_sample(
+            encode_one, (params, ids), one_layer,
+            lambda p: L.resblock(lat, p, cfg.text.heads, L.gelu, mask=mask),
+            cfg.text.layers, batch)
+    except Exception:
+        fps, deriv = 0.0, {}
+    return {"value": round(sps, 2), "unit": "samples/s/chip",
+            "batch": batch, "compile_s": round(compile_s, 1),
+            "gflops_per_sample": round(fps / 1e9, 1),
+            "v5e_mfu_pct": _mfu(sps, fps), "flops_derivation": deriv}
+
+
 def bench_bigG_pc_encode(batches, iters: int):
     """ViT-bigG-14 pc-Lens (vitlensG/OpenShape serving shape): the full
     2.5 B-param trunk single-chip, bf16 params (~5 GB HBM).
@@ -469,6 +531,7 @@ def main() -> int:
         jobs = [
             ("pc_encode_b64", lambda: bench_pc_encode(64, 10), 300),
             ("image_encode_b64", lambda: bench_image_encode(64, 10), 240),
+            ("text_encode_b256", lambda: bench_text_encode(256, 20), 180),
             ("train_audio_b128", lambda: bench_train_step("audio", 128), 600),
             ("train_pc_b64", lambda: bench_train_step("pc", 64), 600),
             # one job, two sub-metrics: B16 (cross-round key) + B32 (the

@@ -116,3 +116,55 @@ def test_quantize_model_tower_fidelity():
 def test_quantize_rejects_lora():
     with pytest.raises(ValueError, match="LoRA"):
         quantize_tower_params({"lora": {}, "trunk": {"blocks": {}}})
+
+
+def test_quantized_encode_shards_over_data_mesh():
+    """int8 params ride jax.sharding like any pytree: a data-parallel mesh
+    encode (weights replicated, batch sharded) reproduces the single-device
+    quantized embeddings — the serving `mesh=` mode stays available if a
+    deployment opts into quantization."""
+    import numpy as np_
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vitlens_tpu import create_model
+    from vitlens_tpu.models import tri
+
+    m = create_model("ViT-Tiny-Test", "audio", seed=0)
+    mq = quantize_model(m)
+    x = jnp.asarray(
+        np_.random.RandomState(7).randn(8, 512, 128), jnp.float32)
+    want = np_.asarray(mq.encode_visual(x, normalize=True), np_.float32)
+
+    cpus = jax.local_devices(backend="cpu")[:4]
+    mesh = Mesh(np_.asarray(cpus), ("data",))
+    repl = NamedSharding(mesh, P())
+    cfg = mq.cfg
+
+    @jax.jit
+    def enc(p, s, xx):
+        f, _ = tri.encode_visual(p, s, xx, cfg, normalize=True,
+                                 compute_dtype=jnp.float32)
+        return f
+
+    p = jax.device_put(mq.params, repl)
+    s = jax.device_put(mq.state, repl)
+    xx = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = np_.asarray(enc(p, s, xx), np_.float32)
+    np_.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    """Quantize-once-serve-forever: int8 leaves and scales survive the
+    orbax checkpoint exactly (a deployment quantizes at export time and
+    loads the int8 tree directly)."""
+    from vitlens_tpu import create_model
+    from vitlens_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    m = create_model("ViT-Tiny-Test", "audio", seed=0)
+    mq = quantize_model(m)
+    path = save_checkpoint(str(tmp_path), {"params": mq.params}, epoch=0)
+    loaded = load_checkpoint(path, {"params": mq.params})["params"]
+    blocks = loaded["visual"]["trunk"]["blocks"]
+    assert blocks["attn"]["qkv_w_q"].dtype == jnp.int8
+    for a, b in zip(jax.tree.leaves(mq.params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
