@@ -32,8 +32,8 @@ def main():
     params, state = tri.tri_model_init(jax.random.PRNGKey(0), cfg)
     t = cfg.tower
     clips = jnp.asarray(np.random.RandomState(0).randn(
-        BATCH, t.video.n_frames, 3, t.vision.image_size,
-        t.vision.image_size) * 0.5, jnp.float32)
+        BATCH, t.video.n_frames, 3, t.arch.image_size,
+        t.arch.image_size) * 0.5, jnp.float32)
     print(f"clip shape {clips.shape} tokens {t.num_tokens}", file=sys.stderr,
           flush=True)
 

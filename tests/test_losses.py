@@ -194,10 +194,32 @@ def test_make_loss_fn_validation():
     factory.py:819-820)."""
     with pytest.raises(ValueError, match="unknown contra_loss_type"):
         L.make_loss_fn(3, "typo_mask")
-    # distill_token is tri-only: dual_fn has no distill branch and would
-    # silently train the plain contrastive objective
-    with pytest.raises(ValueError, match="requires n_tower=3"):
-        L.make_loss_fn(2, "distill_token")
+    # distill_token is tri-SHAPED, not tri-only: the video-distill forward
+    # emits all tri keys for any n_tower (tri_forward_video_distill), so
+    # the factory must hand back the tri branch even at n_tower=2 — the
+    # dual+distill misconfig (no video_distill) is rejected by
+    # StepConfig.__post_init__ instead, where video_distill is known
+    fn2 = L.make_loss_fn(2, "distill_token")
+
+    def _l2(x):
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    tri_out = {
+        "image_features": _l2(jnp.ones((2, 4))),
+        "text_features": _l2(jnp.arange(8.0).reshape(2, 4)),
+        "visual_features": _l2(jnp.ones((2, 4)) * 0.5),
+        "visual_tokens": jnp.ones((2, 3, 4)),
+        "image_tokens": jnp.ones((2, 3, 4)) * 0.9,
+        "logit_scale": jnp.asarray(10.0),
+    }
+    assert np.isfinite(float(fn2(tri_out)))
+    from vitlens_tpu.train.step import StepConfig
+    with pytest.raises(ValueError, match="tri-shaped"):
+        StepConfig(n_tower=2, contra_loss_type="distill_token",
+                   video_distill=False)
+    # ...and the combination cli/train.py anticipates constructs fine
+    StepConfig(n_tower=2, contra_loss_type="distill_token",
+               video_distill=True)
     # a dual forward missing the anchor key names the problem, not a
     # NoneType crash deep inside tracing
     fn = L.make_loss_fn(2, "general")

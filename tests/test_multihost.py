@@ -223,3 +223,28 @@ def test_init_distributed_refuses_worldsize_without_addr(monkeypatch):
     monkeypatch.setenv("RANK", "0")
     with pytest.raises(RuntimeError, match="MASTER_ADDR"):
         init_distributed()
+
+
+def test_init_distributed_slurm_uses_auto_detection(monkeypatch):
+    """A standard sbatch launch (SLURM_NTASKS>1, no COORDINATOR_ADDRESS)
+    must reach jax.distributed's SlurmCluster auto-detection — NOT raise
+    up-front — and surface an actionable error only if auto-detect fails."""
+    import jax
+    from vitlens_tpu.parallel import mesh as M
+
+    for var in ("MASTER_ADDR", "COORDINATOR_ADDRESS", "WORLD_SIZE", "RANK"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    monkeypatch.setenv("SLURM_PROCID", "0")
+
+    calls = []
+
+    def fake_initialize(*a, **kw):
+        calls.append((a, kw))
+        raise RuntimeError("Could not find coordinator address")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    with pytest.raises(RuntimeError, match="COORDINATOR_ADDRESS"):
+        M.init_distributed()
+    # auto-detection WAS attempted (argless initialize), not skipped
+    assert calls == [((), {})]

@@ -29,7 +29,9 @@ def init_distributed() -> int:
 
     - torchrun-style MASTER_ADDR/MASTER_PORT + WORLD_SIZE/RANK (the
       reference's primary path, distributed.py:24-69)
-    - SLURM_NTASKS/SLURM_PROCID + COORDINATOR_ADDRESS
+    - SLURM_NTASKS/SLURM_PROCID (+ optional COORDINATOR_ADDRESS override;
+      without it jax.distributed's SlurmCluster plugin auto-detects the
+      rank-0 coordinator from SLURM_STEP_NODELIST)
     - bare COORDINATOR_ADDRESS -> jax.distributed.initialize() auto-detect
       (TPU-pod metadata et al.)
 
@@ -60,14 +62,24 @@ def init_distributed() -> int:
                 "every process needs its torchrun-style rank")
         nproc, pid = int(env["WORLD_SIZE"]), int(env["RANK"])
     elif env.get("SLURM_NTASKS", "1") not in ("", "1"):
-        if not addr:
-            # same loudness as the WORLD_SIZE path: initialize(None, ...)
-            # would fail opaquely or auto-pick an unintended coordinator
-            raise RuntimeError(
-                f"SLURM_NTASKS={env['SLURM_NTASKS']} but "
-                "COORDINATOR_ADDRESS is not set — export it (host:port of "
-                "rank 0) in the sbatch script")
-        nproc, pid = int(env["SLURM_NTASKS"]), int(env["SLURM_PROCID"])
+        if addr:
+            nproc, pid = int(env["SLURM_NTASKS"]), int(env["SLURM_PROCID"])
+        else:
+            # standard sbatch launch: jax.distributed's SlurmCluster plugin
+            # auto-detects the coordinator (rank-0 node from
+            # SLURM_STEP_NODELIST), process count and id — no extra env
+            # needed. Auto-detect failure must still be LOUD, not a silent
+            # fall-through to N independent single-host jobs.
+            try:
+                jax.distributed.initialize()
+            except RuntimeError as e:
+                if "already initialized" not in str(e):
+                    raise RuntimeError(
+                        f"SLURM_NTASKS={env['SLURM_NTASKS']} but JAX's "
+                        "SLURM auto-detection failed — export "
+                        "COORDINATOR_ADDRESS (host:port of rank 0) in the "
+                        "sbatch script") from e
+            return jax.process_index()
     if nproc is not None:
         try:
             jax.distributed.initialize(coordinator_address=addr,

@@ -11,9 +11,12 @@ proj — all of the FLOPs) can run int8 x int8 -> int32 on the MXU with
 
 This is a serving feature with NO reference counterpart (the reference
 serves fp16/fp32 torch modules); it exists because the hardware offers
-the 2x. It is opt-in (`ViTLens(quantize="int8")`, `--quantize int8`) and
+the 2x. It is opt-in (`quant.quantize_model(model)` on a loaded
+`ViTLens`, or `quantize_tower_params` on a raw param tree) and
 inference-only: quantized params carry no gradient story, and the train
-CLI never produces them.
+CLI never produces them. Measured e2e on this chip it LOSES (0.904x —
+int8 MXU only reaches 1.43x bf16 here; see CLAUDE.md), which is why it
+is a library feature and not a serving default.
 
 Numerics: weights lose at most 1/254 of their per-channel amax to
 rounding; activations are quantized per row so one outlier token cannot
@@ -125,9 +128,10 @@ def quantize_tower_params(
     """
     if "lora" in tower_params:
         raise ValueError(
-            "cannot quantize a LoRA-adapted tower: export/merge the "
-            "adapters into plain weights first (cli.train --lora-export "
-            "or train/lora.py::merge_lora)")
+            "cannot quantize a LoRA-adapted tower: merge the adapters "
+            "into plain weights first (ViTLens.export_params() / "
+            "ViTLens.export_checkpoint(), or train/lora.py::merge_lora "
+            "on the raw tower tree)")
     out = dict(tower_params)
     for key in trunk_keys:
         if key in out and isinstance(out[key], dict) and "blocks" in out[key]:

@@ -245,15 +245,15 @@ def make_loss_fn(
         raise ValueError(
             f"unknown contra_loss_type {contra_loss_type!r}; expected one "
             f"of {known}")
-    if contra_loss_type == "distill_token" and n_tower != 3:
-        # the distill-token objective is tri-only (reference
-        # TriClipDistillTokenLoss, loss.py:168-231); dual_fn has no distill
-        # branch and would silently train plain contrastive instead
-        raise ValueError(
-            "contra_loss_type='distill_token' requires n_tower=3 "
-            f"(got n_tower={n_tower})")
-
-    if n_tower == 3:
+    if n_tower == 3 or contra_loss_type == "distill_token":
+        # the distill-token objective is tri-shaped (reference
+        # TriClipDistillTokenLoss, loss.py:168-231): it always consumes
+        # image/text/visual features + tokens. cli/train.py pairs it with
+        # --video-distill, whose forward emits all tri keys for ANY
+        # n_tower (tri_forward_video_distill) — so select the tri branch
+        # here regardless of n_tower; StepConfig.__post_init__ rejects
+        # the one combination whose forward cannot feed it (dual,
+        # non-distill forward).
         def tri_fn(out: Dict[str, jnp.ndarray], labels=None) -> jnp.ndarray:
             mask = None
             if contra_loss_type == "label_mask" and labels is not None:

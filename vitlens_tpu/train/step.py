@@ -149,6 +149,19 @@ class StepConfig:
     # plus token-level distillation into the video Lens tower
     video_distill: bool = False
 
+    def __post_init__(self):
+        # the distill-token objective consumes tri-shaped outputs
+        # (image/text/visual features + tokens). The video-distill forward
+        # emits them for ANY n_tower; without it only n_tower=3 does — a
+        # dual forward would KeyError mid-trace, so fail at construction
+        # (reference pairs the loss with exp_args, factory.py:750-851)
+        if (self.contra_loss_type == "distill_token"
+                and not self.video_distill and self.n_tower != 3):
+            raise ValueError(
+                "contra_loss_type='distill_token' needs tri-shaped model "
+                "outputs: use n_tower=3 or enable video_distill "
+                f"(got n_tower={self.n_tower}, video_distill=False)")
+
 
 def _forward_features(
     params, model_state, batch, model_cfg: ModelConfig, sc: StepConfig,
