@@ -35,6 +35,27 @@ fetch — true on-device throughput with amortised dispatch.
 A wall-clock deadline (BENCH_DEADLINE_S, default 2700 s) guards the driver:
 sub-metrics that would start too close to it are skipped, and each is
 try/except-isolated so one failure cannot take down the headline number.
+
+Crash-proofing (VERDICT r4 item 1 — BENCH_r03 lost its number to line
+length, BENCH_r04 to an unguarded FAILED_PRECONDITION at TPU first
+contact): the driver must get ONE parseable JSON line on stdout no matter
+what the TPU does.
+  (a) TPU first contact runs in a bounded retry loop (3 attempts with
+      backoff, catching backend errors);
+  (b) __main__ wraps main() in a catch-all that, on any unrecoverable
+      failure, prints a compact line with "value": null, the error, and
+      the last-good figures from the checked-in BENCH_DETAIL.json marked
+      "stale", then exits 0;
+  (c) a watchdog thread force-emits that same line and exits 0 if main()
+      is still running past the deadline (a wedged tunnel can hang a host
+      fetch forever — CLAUDE.md);
+  (d) BENCH_DETAIL.json is (re)written incrementally after the headline
+      and after every sub-metric, so a late crash keeps earlier results
+      (the previous round's copy is loaded into memory FIRST, before the
+      first overwrite, to serve as last_good).
+Simulated-failure coverage: tests/test_bench_guard.py runs this file with
+BENCH_SELFTEST_FAIL_CONTACT=1 and asserts rc==0 + a parseable null-value
+line carrying last_good.
 """
 
 from __future__ import annotations
@@ -42,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -55,6 +77,16 @@ A100_BF16_PEAK = 312e12
 A100_ASSUMED_MFU = 0.5
 V5E_BF16_PEAK = 197e12
 DEADLINE = time.time() + float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+METRIC = "vitL_audio_lens_encode_samples_per_sec_per_chip"
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
+
+# last-good figures from the previous round's checked-in BENCH_DETAIL.json,
+# loaded BEFORE anything can overwrite the file; serves the fallback line
+_LAST_GOOD: dict | None = None
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+_LIVE_SUB: dict = {}  # sub-metrics measured so far THIS run (non-stale)
 
 
 def _remaining() -> float:
@@ -64,6 +96,129 @@ def _remaining() -> float:
 def _progress(msg: str) -> None:
     # stdout must stay ONE json line; progress goes to stderr
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _load_last_good() -> dict | None:
+    try:
+        with open(DETAIL_PATH) as f:
+            d = json.load(f)
+        # only trust a detail file that carries a real headline number
+        if isinstance(d.get("value"), (int, float)):
+            return d
+    except Exception:
+        pass
+    return None
+
+
+def _compact(d) -> dict:
+    """Compact one sub-metric result for the single stdout line."""
+    if not isinstance(d, dict):
+        return {"err": "?"}
+    if "value" in d and d["value"] is not None:
+        out = {"v": d["value"], "mfu": d.get("v5e_mfu_pct", -1.0),
+               "b": d.get("batch")}
+        if d.get("stale"):
+            out["stale"] = 1
+        return out
+    if "skipped" in d:
+        return {"skip": 1}
+    return {"err": str(d.get("error", "?"))[:80]}
+
+
+def _emit_line(payload: dict) -> None:
+    """Print THE one stdout JSON line exactly once, thread-safe (main vs
+    watchdog can race when a hang clears right at the deadline)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
+
+
+def _fallback_payload(error: str) -> dict:
+    """A null-value line that still carries last-good figures (marked
+    stale) plus anything measured live before the failure."""
+    lg = _LAST_GOOD or {}
+    sub = {k: dict(_compact(v), stale=1)
+           for k, v in (lg.get("sub_metrics") or {}).items()
+           if isinstance(v, dict) and v.get("value") is not None}
+    sub.update({k: _compact(v) for k, v in _LIVE_SUB.items()})
+    extra = {"error": error[:300], "sub": sub, "detail": "BENCH_DETAIL.json"}
+    if isinstance(lg.get("value"), (int, float)):
+        extra["last_good"] = {"v": lg["value"], "mfu": lg.get("v5e_mfu_pct"),
+                              "vs_baseline": lg.get("vs_baseline"),
+                              "stale": True}
+    return {"metric": METRIC, "value": None, "unit": "samples/s/chip",
+            "vs_baseline": None, "extra": extra}
+
+
+def _emit_fallback_and_exit(error: str) -> None:
+    _progress(f"FALLBACK emit: {error[:200]}")
+    _emit_line(_fallback_payload(error))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)  # noqa: SLF001 - watchdog path must not run atexit hooks
+
+
+def _start_watchdog() -> None:
+    """If main() is still running `grace` past the deadline (wedged tunnel
+    hangs host fetches indefinitely), emit the fallback line and exit 0."""
+    grace = float(os.environ.get("BENCH_WATCHDOG_GRACE_S", "180"))
+
+    def fire():
+        _emit_fallback_and_exit(
+            f"watchdog: still running {int(grace)}s past deadline "
+            "(wedged TPU tunnel?)")
+
+    delay = max(30.0, DEADLINE - time.time() + grace)
+    t = threading.Timer(delay, fire)
+    t.daemon = True
+    t.start()
+
+
+def _first_contact() -> None:
+    """TPU first contact, bounded-retried: axon first contact can raise
+    FAILED_PRECONDITION transiently or hang for minutes (CLAUDE.md;
+    BENCH_r04 died here). 3 attempts with backoff; raises the last error
+    if all fail."""
+    attempts = int(os.environ.get("BENCH_CONTACT_ATTEMPTS", "3"))
+    if os.environ.get("BENCH_SELFTEST_HANG"):
+        # simulate the wedged-tunnel hang (host fetch never returns) so the
+        # watchdog path is testable: tests/test_bench_guard.py
+        _progress("selftest: simulating wedged-tunnel hang")
+        time.sleep(100000.0)
+    last = None
+    for i in range(attempts):
+        if os.environ.get("BENCH_SELFTEST_FAIL_CONTACT"):
+            last = RuntimeError("selftest: simulated first-contact failure")
+            _progress(f"first contact attempt {i + 1}: simulated failure")
+            continue
+        try:
+            x = jnp.ones((128, 128))
+            np.asarray(x @ x)  # host fetch; block_until_ready no-ops on axon
+            return
+        except Exception as e:  # noqa: BLE001 - transient backend errors
+            last = e
+            _progress(f"first contact attempt {i + 1} failed: {e!r:.200}")
+            if i + 1 < attempts:
+                time.sleep(min(20.0 * (i + 1), _remaining() - 60.0)
+                           if _remaining() > 90 else 1.0)
+    raise RuntimeError(f"TPU first contact failed after {attempts} "
+                       f"attempts: {last!r}")
+
+
+def _write_detail(detail: dict) -> None:
+    """Incremental write: called after the headline and after EVERY
+    sub-metric so a late crash keeps earlier results (atomic rename so a
+    crash mid-write can't truncate the file)."""
+    try:
+        tmp = DETAIL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(detail, f, indent=1)
+        os.replace(tmp, DETAIL_PATH)
+    except OSError as e:
+        _progress(f"BENCH_DETAIL.json write failed: {e!r}")
 
 
 def _fence(x) -> None:
@@ -512,20 +667,60 @@ def main() -> int:
     except Exception:
         pass
 
-    # warm up device + tunnel with a trivial program
-    x = jnp.ones((128, 128))
-    np.asarray(x @ x)  # block_until_ready is a no-op on axon; host-fetch fences
-
+    # warm up device + tunnel, bounded-retried; an unusable TPU after all
+    # attempts emits the stale-last-good line and exits 0 (never rc!=0)
+    try:
+        _first_contact()
+    except Exception as e:  # noqa: BLE001
+        _emit_fallback_and_exit(repr(e))
     _progress("tpu up")
+
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    sps, compile_s, flops_per_sample, flops_derivation = bench_audio_encode(
-        batch, iters)
-    _progress(f"audio encode done: {sps:.1f}/s")
-    a100_equiv = (A100_BF16_PEAK * A100_ASSUMED_MFU / flops_per_sample
-                  if flops_per_sample > 0 else 1000.0)
+    detail = {
+        "metric": METRIC,
+        "value": None,
+        "unit": "samples/s/chip",
+        "vs_baseline": None,
+        "batch": batch,
+        "iters": iters,
+        "device": str(jax.devices()[0]),
+        "compute_dtype": "bfloat16",
+        "a100_comparator": (
+            "A100 bf16 peak 312e12 * assumed 0.5 MFU / "
+            "flops_per_sample; see flops_derivation"),
+        "shape_ceiling_evidence": "scripts/microbench.py",
+        "sub_metrics": {},
+        "complete": False,
+    }
 
-    sub = {}
+    # headline, isolated: a crash here must not kill the sub-metrics or
+    # the stdout line (it gets value=null + error + stale last_good)
+    sps, a100_equiv, headline_err = None, None, None
+    try:
+        sps, compile_s, flops_per_sample, flops_derivation = (
+            bench_audio_encode(batch, iters))
+        _progress(f"audio encode done: {sps:.1f}/s")
+        a100_equiv = (A100_BF16_PEAK * A100_ASSUMED_MFU / flops_per_sample
+                      if flops_per_sample > 0 else 1000.0)
+        headline_mfu = (_mfu(sps, flops_per_sample)
+                        if flops_per_sample > 0 else -1.0)
+        detail.update({
+            "value": round(sps, 2),
+            "vs_baseline": round(sps / a100_equiv, 3),
+            "compile_s": round(compile_s, 1),
+            "gflops_per_sample": round(flops_per_sample / 1e9, 1),
+            "v5e_mfu_pct": headline_mfu,
+            "a100_same_model_50mfu_samples_s": round(a100_equiv, 1),
+            "flops_derivation": flops_derivation,
+        })
+    except Exception as e:  # noqa: BLE001
+        headline_err = repr(e)[:300]
+        detail["error"] = headline_err
+        _progress(f"headline: ERROR {headline_err[:120]}")
+    _write_detail(detail)
+
+    sub = detail["sub_metrics"]
     jobs = []
     if os.environ.get("BENCH_SUBMETRICS", "1") != "0":
         jobs = [
@@ -545,6 +740,7 @@ def main() -> int:
             sub[name] = {"skipped": f"deadline ({int(_remaining())}s left, "
                                     f"~{need_s}s needed)"}
             _progress(f"{name}: skipped (deadline)")
+            _write_detail(detail)
             continue
         _progress(f"{name}: start ({int(_remaining())}s to deadline)")
         try:
@@ -561,66 +757,44 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - isolate sub-metric failures
             sub[name] = {"error": repr(e)[:300]}
             _progress(f"{name}: ERROR {repr(e)[:120]}")
+        _LIVE_SUB.update({k: v for k, v in sub.items()
+                          if isinstance(v, dict) and "value" in v})
+        _write_detail(detail)  # incremental: a later crash keeps this
 
-    headline_mfu = (_mfu(sps, flops_per_sample)
-                    if flops_per_sample > 0 else -1.0)
-    detail = {
-        "metric": "vitL_audio_lens_encode_samples_per_sec_per_chip",
-        "value": round(sps, 2),
-        "unit": "samples/s/chip",
-        "vs_baseline": round(sps / a100_equiv, 3),
-        "batch": batch,
-        "iters": iters,
-        "compile_s": round(compile_s, 1),
-        "device": str(jax.devices()[0]),
-        "compute_dtype": "bfloat16",
-        "gflops_per_sample": round(flops_per_sample / 1e9, 1),
-        "v5e_mfu_pct": headline_mfu,
-        "a100_same_model_50mfu_samples_s": round(a100_equiv, 1),
-        "a100_comparator": (
-            "A100 bf16 peak 312e12 * assumed 0.5 MFU / "
-            "flops_per_sample; see flops_derivation"),
-        "flops_derivation": flops_derivation,
-        "shape_ceiling_evidence": "scripts/microbench.py",
-        "sub_metrics": sub,
-    }
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError as e:
-        _progress(f"BENCH_DETAIL.json write failed: {e!r}")
+    detail["complete"] = headline_err is None
+    _write_detail(detail)
 
     # stdout: ONE compact line (<= ~1500 chars incl. all sub-metrics) so the
     # driver's 2000-char tail capture parses it; everything verbose lives in
     # BENCH_DETAIL.json
-    def _compact(d):
-        if "value" in d:
-            return {"v": d["value"], "mfu": d.get("v5e_mfu_pct", -1.0),
-                    "b": d.get("batch")}
-        if "skipped" in d:
-            return {"skip": 1}
-        return {"err": d.get("error", "?")[:80]}
-
-    print(
-        json.dumps(
-            {
-                "metric": "vitL_audio_lens_encode_samples_per_sec_per_chip",
-                "value": round(sps, 2),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(sps / a100_equiv, 3),
-                "extra": {
-                    "batch": batch,
-                    "mfu": headline_mfu,
-                    "sub": {k: _compact(v) for k, v in sub.items()},
-                    "detail": "BENCH_DETAIL.json",
-                },
-            },
-            separators=(",", ":"),
-        )
-    )
+    if headline_err is not None:
+        payload = _fallback_payload(f"headline: {headline_err}")
+        payload["extra"]["sub"].update(
+            {k: _compact(v) for k, v in sub.items()})
+        _emit_line(payload)
+        return 0
+    _emit_line({
+        "metric": METRIC,
+        "value": round(sps, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / a100_equiv, 3),
+        "extra": {
+            "batch": batch,
+            "mfu": detail["v5e_mfu_pct"],
+            "sub": {k: _compact(v) for k, v in sub.items()},
+            "detail": "BENCH_DETAIL.json",
+        },
+    })
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    _LAST_GOOD = _load_last_good()
+    _start_watchdog()
+    try:
+        rc = main()
+    except BaseException as e:  # noqa: BLE001 - the line must ALWAYS print
+        if isinstance(e, SystemExit) and (e.code in (0, None)):
+            raise
+        _emit_fallback_and_exit(f"uncaught: {e!r}")
+    sys.exit(rc)
