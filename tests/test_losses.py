@@ -214,8 +214,14 @@ def test_make_loss_fn_validation():
     }
     assert np.isfinite(float(fn2(tri_out)))
     from vitlens_tpu.train.step import StepConfig
-    with pytest.raises(ValueError, match="tri-shaped"):
+    with pytest.raises(ValueError, match="video-distill"):
         StepConfig(n_tower=2, contra_loss_type="distill_token",
+                   video_distill=False)
+    # n_tower=3 without video_distill is ALSO invalid: the plain tri
+    # forward emits features only, never visual_tokens/image_tokens
+    # (advisor r4) — must fail at construction, not KeyError mid-trace
+    with pytest.raises(ValueError, match="video-distill"):
+        StepConfig(n_tower=3, contra_loss_type="distill_token",
                    video_distill=False)
     # ...and the combination cli/train.py anticipates constructs fine
     StepConfig(n_tower=2, contra_loss_type="distill_token",

@@ -248,3 +248,13 @@ def test_init_distributed_slurm_uses_auto_detection(monkeypatch):
         M.init_distributed()
     # auto-detection WAS attempted (argless initialize), not skipped
     assert calls == [((), {})]
+
+    # plugin failures are not always RuntimeError — nodelist parsing can
+    # raise ValueError/KeyError (advisor r4); those must get the SAME
+    # actionable hint, not propagate raw
+    def fake_initialize_ve(*a, **kw):
+        raise ValueError("could not parse SLURM_STEP_NODELIST")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize_ve)
+    with pytest.raises(RuntimeError, match="COORDINATOR_ADDRESS"):
+        M.init_distributed()

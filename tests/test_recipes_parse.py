@@ -1,7 +1,17 @@
-"""RECIPES.md doc-drift guard: every documented CLI command line must parse
-against the real arg parsers (flags renamed or removed would silently rot
-the recipes otherwise). Commands are extracted from the bash code blocks;
-`...` ellipses and line continuations are handled."""
+"""Doc-drift guards.
+
+1. RECIPES.md: every documented CLI command line must parse against the
+   real arg parsers (flags renamed or removed would silently rot the
+   recipes otherwise). Commands are extracted from the bash code blocks;
+   `...` ellipses and line continuations are handled.
+2. CLAUDE.md / PARITY.md / BASELINE.md / SCALING.md / RECIPES.md: every
+   cited repo source path (`ops/…`, `vitlens_tpu/…`, `scripts/…`, …)
+   must exist — these docs are the next round's map (VERDICT r4 item 8:
+   a renamed kernel file left two stale citations behind). Reference
+   paths (`vitlens/src/…`, `modal_*/…`, bare basenames) are out of
+   scope: only paths whose first segment is a known repo/package prefix
+   are checked.
+"""
 
 import re
 import shlex
@@ -9,7 +19,57 @@ from pathlib import Path
 
 import pytest
 
-RECIPES = Path(__file__).resolve().parent.parent / "RECIPES.md"
+REPO = Path(__file__).resolve().parent.parent
+RECIPES = REPO / "RECIPES.md"
+
+# docs that cite repo paths and are maintained by the builder (VERDICT.md /
+# ADVICE.md are the judge's/advisor's and may cite historical names)
+PATH_DOCS = ["CLAUDE.md", "PARITY.md", "BASELINE.md", "SCALING.md",
+             "RECIPES.md"]
+# first path segment -> roots to resolve against; anything else (reference
+# paths, bare basenames) is not checked
+REPO_PREFIXES = {
+    "vitlens_tpu": [REPO],
+    "scripts": [REPO],
+    "tests": [REPO],
+    "ops": [REPO / "vitlens_tpu"],
+    "models": [REPO / "vitlens_tpu"],
+    "data": [REPO / "vitlens_tpu"],
+    "cli": [REPO / "vitlens_tpu"],
+    "train": [REPO / "vitlens_tpu"],
+    "parallel": [REPO / "vitlens_tpu"],
+    "utils": [REPO / "vitlens_tpu"],
+    "eval": [REPO / "vitlens_tpu"],
+    "weights": [REPO / "vitlens_tpu"],
+    "text": [REPO / "vitlens_tpu"],
+    "adapters": [REPO / "vitlens_tpu"],
+    "native": [REPO, REPO / "vitlens_tpu"],
+}
+
+
+def _cited_paths():
+    cites = []
+    for doc in PATH_DOCS:
+        p = REPO / doc
+        if not p.exists():
+            continue
+        for m in re.finditer(r"[A-Za-z0-9_][A-Za-z0-9_/.-]*\.(?:py|cc|cpp|h|so|md)\b",
+                             p.read_text()):
+            path = m.group(0)
+            first = path.split("/")[0]
+            if "/" in path and first in REPO_PREFIXES:
+                cites.append((doc, path))
+    assert len(cites) >= 20, "path-citation extraction broke?"
+    return sorted(set(cites))
+
+
+@pytest.mark.parametrize("doc,path", _cited_paths(),
+                         ids=lambda v: v if isinstance(v, str) else str(v))
+def test_cited_repo_path_exists(doc, path):
+    roots = REPO_PREFIXES[path.split("/")[0]]
+    assert any((root / path).exists() for root in roots), (
+        f"{doc} cites {path}, which does not exist under "
+        f"{[str(r) for r in roots]} — stale doc (renamed/removed file?)")
 
 
 def _commands():

@@ -72,8 +72,14 @@ def init_distributed() -> int:
             # fall-through to N independent single-host jobs.
             try:
                 jax.distributed.initialize()
-            except RuntimeError as e:
-                if "already initialized" not in str(e):
+            except Exception as e:  # noqa: BLE001 - plugin failures vary:
+                # nodelist parsing raises ValueError/KeyError, not just
+                # RuntimeError; all deserve the actionable hint. Only the
+                # benign double-init RuntimeError passes through.
+                if (isinstance(e, RuntimeError)
+                        and "already initialized" in str(e)):
+                    pass
+                else:
                     raise RuntimeError(
                         f"SLURM_NTASKS={env['SLURM_NTASKS']} but JAX's "
                         "SLURM auto-detection failed — export "

@@ -150,16 +150,18 @@ class StepConfig:
     video_distill: bool = False
 
     def __post_init__(self):
-        # the distill-token objective consumes tri-shaped outputs
-        # (image/text/visual features + tokens). The video-distill forward
-        # emits them for ANY n_tower; without it only n_tower=3 does — a
-        # dual forward would KeyError mid-trace, so fail at construction
-        # (reference pairs the loss with exp_args, factory.py:750-851)
-        if (self.contra_loss_type == "distill_token"
-                and not self.video_distill and self.n_tower != 3):
+        # the distill-token objective consumes visual_tokens/image_tokens,
+        # which ONLY the video-distill forward emits (tri.py
+        # tri_forward_video_distill) — the plain n_tower=3 forward returns
+        # features only, so the loss would KeyError mid-trace. Fail at
+        # construction instead; matches the reference, where create_loss
+        # keys TriClipDistillTokenLoss solely on vid_distill_tokens
+        # (factory.py:750-851)
+        if self.contra_loss_type == "distill_token" and not self.video_distill:
             raise ValueError(
-                "contra_loss_type='distill_token' needs tri-shaped model "
-                "outputs: use n_tower=3 or enable video_distill "
+                "contra_loss_type='distill_token' needs the video-distill "
+                "forward (it is the only one emitting visual_tokens/"
+                "image_tokens): set video_distill=True "
                 f"(got n_tower={self.n_tower}, video_distill=False)")
 
 
