@@ -35,7 +35,7 @@ def test_dryrun_subprocess_driver_env():
         pytest.skip("TPU plugin first contact timed out in subprocess")
     assert r.returncode == 0, r.stdout + "\n" + r.stderr[-2000:]
     for marker in ("step ok", "fsdp step ok", "video-distill step ok",
-                   "tp forward ok"):
+                   "openshape step ok", "tp forward ok"):
         assert marker in r.stdout, r.stdout
 
 
