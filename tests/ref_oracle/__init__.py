@@ -190,6 +190,25 @@ def load(modname: str):
     return importlib.import_module(modname)
 
 
+def load_file(relpath: str):
+    """Load ONE reference module by file path (relative to REF_SRC), without
+    executing any package __init__ along the way. Needed for leaf modules
+    whose package __init__ pulls unstubable deps (e.g.
+    open_clip/modal_video/processors/__init__.py imports vt_processors ->
+    decord + skimage). The module is registered under a synthetic name."""
+    import importlib.util
+
+    install()
+    name = "refleaf_" + relpath.replace("/", "_").removesuffix(".py")
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, f"{REF_SRC}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 OPENSHAPE_MODELS = "/root/reference/VitLens-OpenShape/src/models"
 
 

@@ -159,6 +159,12 @@ class TrainArgs:
     # video frame path (--vid_* in the reference, params.py vid group)
     vid_n_frames: Optional[int] = None   # --vid_num_frm
     vid_use_ltpos: Optional[bool] = None
+    # video train-time RandAugment (reference lavis train processor,
+    # vt_processors.py:756-772: VideoRandomAugment(n=2, m=5) after the
+    # clip RandomResizedCrop+flip); --no-vid-rand-aug disables
+    vid_rand_aug: bool = True
+    vid_rand_aug_n: int = 2              # lavis_transform_conf "n"
+    vid_rand_aug_m: float = 5.0          # lavis_transform_conf "m"
     # perceiver Lens (--perceiver_*)
     perceiver_depth: Optional[int] = None
     perceiver_input_dim: Optional[int] = None  # --perceiver_input_chan

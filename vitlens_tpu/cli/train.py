@@ -160,7 +160,10 @@ def _build_real_dataset(args: TrainArgs, spec: str, train: bool,
         n_frames = (cfg.tower.video.n_frames
                     if cfg is not None and cfg.tower.video is not None else 8)
         return D.VideoDataset(anno_path=spec, n_frames=n_frames,
-                              image_size=hw, train=train)
+                              image_size=hw, train=train,
+                              rand_aug=args.vid_rand_aug,
+                              rand_aug_n=args.vid_rand_aug_n,
+                              rand_aug_m=args.vid_rand_aug_m)
     if m == "pc":
         npoints = (cfg.tower.point.npoints
                    if cfg is not None and cfg.tower.point is not None

@@ -148,11 +148,12 @@ class AugmentationCfg:
 _PIL_INTERP = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR}
 
 
-def random_resized_crop(img: Image.Image, rng: np.random.RandomState,
-                        size: int = 224, scale=(0.9, 1.0),
-                        ratio=(3 / 4, 4 / 3),
-                        interpolation=Image.BICUBIC) -> Image.Image:
-    w, h = img.size
+def random_resized_crop_params(w: int, h: int, rng: np.random.RandomState,
+                               scale=(0.9, 1.0), ratio=(3 / 4, 4 / 3)):
+    """Sample one (left, top, cw, ch) crop box (torchvision
+    RandomResizedCrop.get_params semantics). Split out so video can apply
+    ONE box to every frame of a clip (reference RandomResizedCropVideo,
+    transforms_video.py)."""
     area = w * h
     for _ in range(10):
         target_area = area * rng.uniform(*scale)
@@ -163,13 +164,20 @@ def random_resized_crop(img: Image.Image, rng: np.random.RandomState,
         if 0 < cw <= w and 0 < ch <= h:
             left = rng.randint(0, w - cw + 1)
             top = rng.randint(0, h - ch + 1)
-            return img.resize((size, size), interpolation,
-                              box=(left, top, left + cw, top + ch))
+            return left, top, cw, ch
     # fallback: center crop
     m = min(w, h)
-    left, top = (w - m) // 2, (h - m) // 2
+    return (w - m) // 2, (h - m) // 2, m, m
+
+
+def random_resized_crop(img: Image.Image, rng: np.random.RandomState,
+                        size: int = 224, scale=(0.9, 1.0),
+                        ratio=(3 / 4, 4 / 3),
+                        interpolation=Image.BICUBIC) -> Image.Image:
+    w, h = img.size
+    left, top, cw, ch = random_resized_crop_params(w, h, rng, scale, ratio)
     return img.resize((size, size), interpolation,
-                      box=(left, top, left + m, top + m))
+                      box=(left, top, left + cw, top + ch))
 
 
 def color_jitter_pil(img: Image.Image, rng: np.random.RandomState,

@@ -459,7 +459,9 @@ class VideoDataset:
     def __init__(self, anno_path: str, data_root: Optional[str] = None,
                  n_frames: int = 8, image_size: int = 224,
                  train: bool = False, seed: int = 0,
-                 decode_fn: Optional[Any] = None, three_crop: bool = False):
+                 decode_fn: Optional[Any] = None, three_crop: bool = False,
+                 rand_aug: bool = True, rand_aug_n: int = 2,
+                 rand_aug_m: float = 5.0):
         from vitlens_tpu.data import video_processors as VP
 
         with open(anno_path) as f:
@@ -468,7 +470,8 @@ class VideoDataset:
         self.train = train
         self.proc = VP.VideoProcessor(
             n_frames=n_frames, size=image_size, train=train, seed=seed,
-            decode_fn=decode_fn, three_crop=three_crop and not train)
+            decode_fn=decode_fn, three_crop=three_crop and not train,
+            rand_aug=rand_aug, rand_aug_n=rand_aug_n, rand_aug_m=rand_aug_m)
         labels = sorted({a["label"] for a in self.annotation
                          if a.get("label") is not None})
         if labels and all(isinstance(l, str) for l in labels):

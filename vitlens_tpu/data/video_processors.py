@@ -24,7 +24,9 @@ from vitlens_tpu.data.rng import ThreadLocalRNG
 from PIL import Image
 
 from vitlens_tpu.config import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
-from vitlens_tpu.data.augment import random_resized_crop
+from vitlens_tpu.data.augment import random_resized_crop_params
+from vitlens_tpu.data.video_randaugment import (VIDEO_TRAIN_AUG_LIST,
+                                                VideoRandAugment)
 
 
 def sample_frame_indices(total: int, n_frames: int, train: bool = False,
@@ -87,12 +89,23 @@ def spatial_three_crop(img: Image.Image, size: int) -> List[Image.Image]:
 
 class VideoProcessor:
     """frames (dir path / list of PIL / decode_fn output) ->
-    [n_frames, 3, S, S] (eval: center crop; train: RandomResizedCrop)."""
+    [n_frames, 3, S, S].
+
+    Eval: resize-smaller + center crop (optionally 3-crop). Train mirrors
+    the reference lavis train processor (vt_processors.py:756-772,
+    lavis_transform_conf at :70-91): ONE RandomResizedCrop box per clip at
+    scale (0.5, 1.0), ONE horizontal-flip coin per clip (p=0.5), then
+    clip-level RandAugment(n=2, m=5) over the reference's 10-op list,
+    then normalize. Disable with rand_aug=False / hflip=False.
+    """
 
     def __init__(self, n_frames: int = 8, size: int = 224,
                  mean=None, std=None, train: bool = False, seed: int = 0,
                  decode_fn: Optional[Callable] = None,
-                 three_crop: bool = False):
+                 three_crop: bool = False,
+                 rand_aug: bool = True, rand_aug_n: int = 2,
+                 rand_aug_m: float = 5.0, hflip: bool = True,
+                 crop_scale=(0.5, 1.0)):
         self.n_frames = n_frames
         self.size = size
         self.mean = mean or OPENAI_DATASET_MEAN
@@ -101,6 +114,12 @@ class VideoProcessor:
         self.rng = ThreadLocalRNG(seed)  # loader threads share this dataset
         self.decode_fn = decode_fn
         self.three_crop = three_crop
+        self.hflip = hflip
+        self.crop_scale = tuple(crop_scale)
+        self.rand_aug = (
+            VideoRandAugment(n=rand_aug_n, m=rand_aug_m,
+                             aug_list=VIDEO_TRAIN_AUG_LIST)
+            if (train and rand_aug) else None)
 
     def _get_frames(self, src) -> List[Image.Image]:
         if isinstance(src, str):
@@ -122,13 +141,28 @@ class VideoProcessor:
                                    train=self.train, rng=self.rng)
         picked = [frames[i] for i in idx]
         if self.train:
-            out = [
-                _to_chw_norm(
-                    random_resized_crop(f, self.rng, self.size), self.mean,
-                    self.std)
+            # one crop box + one flip coin per clip (reference
+            # RandomResizedCropVideo / RandomHorizontalFlipVideo apply a
+            # single spatial transform to the whole clip); assumes the
+            # clip's frames share one size, as decoded video does
+            w, h = picked[0].size
+            left, top, cw, ch = random_resized_crop_params(
+                w, h, self.rng, scale=self.crop_scale)
+            clip = np.stack([
+                np.asarray(
+                    f.resize((self.size, self.size), Image.BICUBIC,
+                             box=(left, top, left + cw, top + ch)),
+                    np.uint8)
                 for f in picked
-            ]
-            return np.stack(out)
+            ])  # [T, S, S, 3] uint8
+            if self.hflip and self.rng.rand() < 0.5:
+                clip = clip[:, :, ::-1]
+            if self.rand_aug is not None:
+                clip = self.rand_aug(np.ascontiguousarray(clip), self.rng)
+            arr = clip.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+            m = np.asarray(self.mean, np.float32)[:, None, None]
+            s = np.asarray(self.std, np.float32)[:, None, None]
+            return (arr - m) / s
         if self.three_crop:
             # resize + crop each frame ONCE, then regroup by crop index
             per_frame = [
