@@ -106,3 +106,118 @@ def test_overfit_to_zero_shot_accuracy(tmp_path, monkeypatch):
     assert accs[-1] >= 0.9, f"val top1 stayed at {accs}"
     # and the contrastive loss actually moved (not an eval-side artifact)
     assert np.mean(losses[-3:]) < losses[0] - 0.3, losses
+
+
+# ---------------------------------------------------------------------------
+# pc tri path (VERDICT r4 item 3): the numerically riskiest pipeline —
+# in-graph FPS + kNN + grouping, PointBERT BatchNorm state, THREE-tower
+# tri loss (pc <-> frozen image anchor + pc <-> frozen text anchor) — must
+# also extract signal from scratch, through the real cli/train.py, to
+# held-out ModelNet-style zero-shot accuracy. Reference recipe shape:
+# pc_tri_main.py (train) + zero_shot.py:155-257 (3D acc eval dispatch).
+# ---------------------------------------------------------------------------
+
+PC_NAMES = {0: "sphere", 1: "ball", 2: "disk", 3: "string"}
+
+
+def _make_cloud(cls, seed, n=128):
+    """4 shape classes separable by intrinsic geometry (invariant to the
+    train aug chain's dropout/scale/shift): unit SHELL, uniform BALL,
+    flat DISK, 1-D STRING."""
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    if cls == 0:      # sphere shell: all radii 1
+        pts = v
+    elif cls == 1:    # uniform ball volume: r ~ U^(1/3)
+        pts = v * rng.rand(n, 1) ** (1 / 3)
+    elif cls == 2:    # flat disk in a random-but-fixed-ish plane
+        r = np.sqrt(rng.rand(n, 1))
+        th = rng.rand(n, 1) * 2 * np.pi
+        pts = np.concatenate([r * np.cos(th), r * np.sin(th),
+                              0.02 * rng.randn(n, 1)], axis=1)
+    else:             # string: 1-D segment
+        t = rng.rand(n, 1) * 2 - 1
+        pts = np.concatenate([t, 0.02 * rng.randn(n, 2)], axis=1)
+    pts += 0.01 * rng.randn(n, 3)
+    return pts.astype(np.float32)
+
+
+def _write_png(path, cls):
+    from PIL import Image
+
+    rng = np.random.RandomState(cls)
+    base = np.zeros((28, 28, 3), np.uint8)
+    base[..., cls % 3] = 220           # class-coded color
+    base[::4, :, (cls + 1) % 3] = 180  # plus a stripe pattern
+    base += rng.randint(0, 20, base.shape).astype(np.uint8)
+    Image.fromarray(base).save(path)
+
+
+@pytest.mark.slow
+def test_pc_tri_overfit_to_zero_shot_accuracy(tmp_path, monkeypatch):
+    from vitlens_tpu.cli.train import main
+
+    root = tmp_path / "pcdata"
+    meta = tmp_path / "meta" / "modal_3d" / "data"
+    for d in (root / "pc", root / "img", meta):
+        d.mkdir(parents=True)
+
+    # templates for both the triplet train captions (shapenet_64 set) and
+    # the ModelNet eval classifier (modelnet40_64 set)
+    (meta / "templates.json").write_text(json.dumps({
+        "shapenet_64": ["a point cloud of {}.", "a 3D model of {}."],
+        "modelnet40_64": ["a point cloud of {}."],
+    }))
+
+    # -- train triplets: 16 (pc, rendered-image, caption) samples ----------
+    for c in range(4):
+        _write_png(root / "img" / f"c{c}.png", c)
+    anno = []
+    for i in range(16):
+        c = i % 4
+        np.save(root / "pc" / f"t{i}.npy", _make_cloud(c, seed=i))
+        anno.append({"pc_path": f"pc/t{i}.npy", "image_path": f"img/c{c}.png",
+                     "name": PC_NAMES[c]})
+    anno_path = tmp_path / "train_triplets.json"
+    anno_path.write_text(json.dumps(anno))
+
+    # -- held-out val: ModelNet-style preprocessed .dat pickle -------------
+    import pickle
+
+    val_pts = [_make_cloud(i % 4, seed=2000 + i) for i in range(8)]
+    val_lbl = [np.array([i % 4]) for i in range(8)]
+    with open(root / "modelnet40_test_8192pts_fps.dat", "wb") as f:
+        pickle.dump((val_pts, val_lbl), f)
+    (root / "modelnet40_shape_names.txt").write_text(
+        "".join(PC_NAMES[i] + "\n" for i in range(4)))
+
+    monkeypatch.setenv("VITLENS_PC_DATA_DIR", str(root))
+    monkeypatch.setenv("VITLENS_METADATA_DIR", str(tmp_path / "meta"))
+
+    # -- train: from-scratch tiny tri model; frozen random image + text
+    # anchors, Lens/adapter trainable (default locks); tiny PointBERT
+    # geometry (FPS 16 groups of 8 from 128 points, in-graph) -------------
+    rc = main(["--modality", "pc", "--model", "ViT-Tiny-Test",
+               "--train-data", str(anno_path), "--val-data", "modelnet",
+               "--n-tower", "3",
+               "--pc-npoints", "128", "--pc-num-group", "16",
+               "--pc-group-size", "8", "--pc-encoder-dims", "24",
+               "--pc-trans-dim", "32",
+               "--batch-size", "2", "--epochs", "60", "--warmup", "4",
+               "--lr", "2e-3", "--precision", "fp32",
+               "--val-frequency", "15", "--workers", "0",
+               "--log-every-n-steps", "1",
+               "--logs", str(tmp_path / "logs"), "--name", "pcovf"])
+    assert rc == 0
+
+    recs = [json.loads(l) for l in
+            (tmp_path / "logs" / "pcovf" / "results.jsonl"
+             ).read_text().splitlines()]
+    accs = [r["val/modelnet/top1"] for r in recs if "val/modelnet/top1" in r]
+    losses = [r["train/loss"] for r in recs if "train/loss" in r]
+    assert accs and losses
+
+    # held-out zero-shot top1 >= 0.9 from chance 0.25
+    assert accs[-1] >= 0.9, f"val top1 stayed at {accs}"
+    assert np.mean(losses[-3:]) < losses[0] - 0.3, losses
