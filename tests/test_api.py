@@ -200,3 +200,41 @@ def test_infer_cli_main(capsys):
     nums = block.replace("[", " ").replace("]", " ").split(":", 1)[1].split()
     rows = np.array([float(v) for v in nums]).reshape(2, 3)
     np.testing.assert_allclose(rows.sum(axis=-1), 1.0, atol=1e-4)
+
+
+def test_param_dtype_cast_and_pc_processor_sync(model):
+    """param_dtype casts float weights at load (the vitlensG bf16-serving
+    path); the pc processor tracks the loaded tower's npoints/in_channel."""
+    import jax
+    import jax.numpy as jnp
+
+    small = ViTLens(model_var="vitlensB", modality_loaded=["text", "pc"],
+                    param_dtype=jnp.bfloat16)
+    leaves = jax.tree.leaves(small._towers["text"]["params"])
+    assert all(np.asarray(l).dtype != np.float32 for l in leaves)
+    assert any(np.asarray(l).dtype == jnp.bfloat16 for l in leaves)
+    # processor geometry mirrors the tower config
+    pt = small._towers["pc"]["tower_cfg"].point
+    assert small.processors["pc"].n == pt.npoints
+    assert small.processors["pc"].channels == pt.in_channel
+    # bf16-weight encode still produces sane embeddings
+    text = np.zeros((2, 77), np.int32)
+    text[:, 0], text[:, 1], text[:, 2] = 49406, 320, 49407
+    out = small.encode({"text": text}, normalize=True, preprocessed=True)
+    assert np.all(np.isfinite(np.asarray(out["text"])))
+
+
+def test_vitlensG_config_assembly():
+    """vitlensG maps to the ViT-bigG-14 trunk with the published OpenShape
+    pc tower (PNSA, 10k xyz+rgb points) — assembled WITHOUT init (init is a
+    2.5 B-param build; covered on-chip by scripts/bench_serve.py)."""
+    from vitlens_tpu.config import make_model_config, replace
+    from vitlens_tpu.train.openshape import vitlensG_tower_config
+
+    cfg = replace(make_model_config("ViT-bigG-14", "pc"),
+                  tower=vitlensG_tower_config())
+    assert cfg.tower.point.tokenizer == "pnsa"
+    assert cfg.tower.point.npoints == 10000
+    assert cfg.tower.point.in_channel == 6
+    assert cfg.tower.skip_first_n_layers == 16
+    assert cfg.tower.arch.width == 1664

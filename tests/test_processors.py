@@ -134,3 +134,42 @@ class TestFbank:
         np.testing.assert_allclose(
             fb[200:], (0 - (-4.2677393)) / 4.5689974, atol=1e-5
         )
+
+
+class TestPointCloudProcessorChannels:
+    """channels>3 output for xyz+rgb towers (vitlensG / OpenShape PNSA,
+    in_channel 6): xyz is FPS'd + unit-sphere normalized, rgb passes
+    through; missing rgb fills with the OpenShape 0.4 gray
+    (train/openshape.py ObjaverseNpy rgb default)."""
+
+    def test_xyz_only_input_fills_gray(self):
+        from vitlens_tpu.data.processors import PointCloudProcessor
+
+        rng = np.random.RandomState(0)
+        pc = rng.randn(300, 3).astype(np.float32) * 5.0
+        proc = PointCloudProcessor(n_sample_points=64, channels=6)
+        out = proc([pc])
+        assert out.shape == (1, 64, 6)
+        r = np.linalg.norm(out[0, :, :3], axis=1)
+        assert abs(r.max() - 1.0) < 1e-5  # xyz normalized to unit sphere
+        np.testing.assert_allclose(out[0, :, 3:], 0.4)
+
+    def test_rgb_passthrough_unnormalized(self):
+        from vitlens_tpu.data.processors import PointCloudProcessor
+
+        rng = np.random.RandomState(1)
+        xyz = rng.randn(300, 3).astype(np.float32) * 5.0
+        rgb = rng.rand(300, 3).astype(np.float32)
+        proc = PointCloudProcessor(n_sample_points=300, channels=6)
+        out = proc([np.concatenate([xyz, rgb], axis=1)])[0]
+        # n == N: no sampling; rgb columns must be bit-identical
+        np.testing.assert_array_equal(out[:, 3:], rgb)
+        assert abs(np.linalg.norm(out[:, :3], axis=1).max() - 1.0) < 1e-5
+
+    def test_channels_3_unchanged(self):
+        from vitlens_tpu.data.processors import PointCloudProcessor
+
+        rng = np.random.RandomState(2)
+        pc = rng.randn(300, 3).astype(np.float32)
+        a = PointCloudProcessor(n_sample_points=64)([pc])
+        assert a.shape == (1, 64, 3)

@@ -55,6 +55,31 @@ def test_batching_coalesces_concurrent_requests():
         enc.close()
 
 
+def test_serial_mode_matches_pipelined():
+    """pipeline=False (one-thread collect->preprocess->dispatch, the bench
+    A/B baseline) returns the same embeddings/stats as the pipelined path."""
+    model = _FakeModel()
+    enc = BatchingEncoder(model, max_batch=8, max_wait_ms=2000,
+                          pipeline=False)
+    try:
+        assert enc._pre_worker is None
+        results = {}
+
+        def ask(name, items):
+            results[name] = enc.encode("text", items, normalize=False)
+
+        t1 = threading.Thread(target=ask, args=("a", ["xx", "yyy"]))
+        t2 = threading.Thread(target=ask, args=("b", ["zzzz"]))
+        t1.start(); t2.start(); t1.join(); t2.join()
+
+        np.testing.assert_array_equal(results["a"][:, 0], [2.0, 3.0])
+        np.testing.assert_array_equal(results["b"][:, 0], [4.0])
+        assert model.batch_sizes == [3]  # still coalesced into one dispatch
+        assert enc.stats["batches"] == 1 and enc.stats["items"] == 3
+    finally:
+        enc.close()
+
+
 def test_batching_respects_max_batch_and_normalize():
     model = _FakeModel()
     enc = BatchingEncoder(model, max_batch=2, max_wait_ms=2000)

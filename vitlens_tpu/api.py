@@ -52,6 +52,7 @@ class ViTLens:
         seed: int = 0,
         batch_buckets: Optional[Sequence[int]] = None,
         mesh=None,
+        param_dtype=None,
     ):
         """batch_buckets: serving aid — pad each encode batch up to the
         next bucket size so XLA compiles once per bucket instead of once
@@ -65,8 +66,13 @@ class ViTLens:
         scales with chips at the per-chip-optimal batch (B64 is the
         measured per-chip optimum — scale chips, not batch; CLAUDE.md).
         Rows pad to a multiple of the data axis and are sliced off;
-        embeddings are exact. The reference serves single-GPU only."""
-        trunk = {"vitlensL": "ViT-L-14", "vitlensB": "ViT-B-16"}[model_var]
+        embeddings are exact. The reference serves single-GPU only.
+
+        param_dtype: optionally cast float32 weights at load time (e.g.
+        jnp.bfloat16 halves HBM — the vitlensG 2.5 B-param trunk is ~5 GB
+        bf16 vs ~10 GB fp32 and serves single-chip on v5e)."""
+        trunk = {"vitlensL": "ViT-L-14", "vitlensB": "ViT-B-16",
+                 "vitlensG": "ViT-bigG-14"}[model_var]
         self.model_var = model_var
         self.trunk = trunk
         self.mesh = mesh
@@ -78,6 +84,7 @@ class ViTLens:
         self.batch_buckets = (tuple(sorted(batch_buckets))
                               if batch_buckets else None)
         self.compute_dtype = compute_dtype
+        self.param_dtype = param_dtype
         self.modalities = list(modality_loaded)
         self.processors = default_processors(self.modalities)
         self._towers: Dict[str, Any] = {}
@@ -89,40 +96,77 @@ class ViTLens:
             key, sub = jax.random.split(key)
             self._init_modality(m, sub, checkpoints.get(m) or checkpoints.get("all"))
 
+        # the pc processor must match the loaded tower's geometry: point
+        # count AND channel width (vitlensG ingests xyz+rgb, in_channel 6;
+        # 3-channel inputs get the OpenShape 0.4-gray rgb fill)
+        if "pc" in self._towers and self._towers["pc"]["kind"] == "visual":
+            pt = self._towers["pc"]["tower_cfg"].point
+            if pt is not None:
+                self.processors["pc"].n = pt.npoints
+                self.processors["pc"].channels = pt.in_channel
+
     # -- construction ------------------------------------------------------
 
     def _init_modality(self, m: str, key, ckpt_path: Optional[str]):
         """Reference _init_modality_module (vitlens.py:37-107): image -> image
         tower, text -> text tower, else -> Lens visual tower."""
         cfg = make_model_config(self.trunk, m if m in VISUAL_MODALITIES else "image")
-        if m == "text":
-            from vitlens_tpu.models.text import text_tower_init
+        if self.model_var == "vitlensG" and m == "pc":
+            # the published vitlensG pc recipe (OpenShape-Triplets): PNSA
+            # tokenizer, 10k xyz+rgb points, skip-first-16 bigG trunk
+            # (train/openshape.py:43-64, TRAIN_INFERENCE.md)
+            from vitlens_tpu.config import replace as _cfg_replace
+            from vitlens_tpu.train.openshape import vitlensG_tower_config
 
-            params = text_tower_init(key, cfg.text, cfg.embed_dim)
-            entry = {"cfg": cfg, "params": params, "state": None, "kind": "text"}
-        elif m == "image":
-            from vitlens_tpu.models.vit import vision_tower_init
+            cfg = _cfg_replace(cfg, tower=vitlensG_tower_config())
+        # init host-side: random init runs on the CPU backend (threefry is
+        # backend-deterministic, so values are identical), keeping the chip
+        # free of the fp32 init copy — the vitlensG trunk is ~10 GB fp32 and
+        # only its bf16 cast should ever reach HBM. _place_tower moves the
+        # final (possibly ckpt-loaded, possibly cast) weights to the device.
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            if m == "text":
+                from vitlens_tpu.models.text import text_tower_init
 
-            tcfg = image_tower_config(cfg)
-            params, state = vision_tower_init(key, tcfg)
-            entry = {"cfg": cfg, "tower_cfg": tcfg, "params": params,
-                     "state": state, "kind": "image"}
-        else:
-            from vitlens_tpu.models.vit import vision_tower_init
+                params = text_tower_init(key, cfg.text, cfg.embed_dim)
+                entry = {"cfg": cfg, "params": params, "state": None,
+                         "kind": "text"}
+            elif m == "image":
+                from vitlens_tpu.models.vit import vision_tower_init
 
-            params, state = vision_tower_init(key, cfg.tower)
-            entry = {"cfg": cfg, "tower_cfg": cfg.tower, "params": params,
-                     "state": state, "kind": "visual"}
+                tcfg = image_tower_config(cfg)
+                params, state = vision_tower_init(key, tcfg)
+                entry = {"cfg": cfg, "tower_cfg": tcfg, "params": params,
+                         "state": state, "kind": "image"}
+            else:
+                from vitlens_tpu.models.vit import vision_tower_init
+
+                params, state = vision_tower_init(key, cfg.tower)
+                entry = {"cfg": cfg, "tower_cfg": cfg.tower, "params": params,
+                         "state": state, "kind": "visual"}
 
         if ckpt_path:
             self._load_ckpt(entry, m, ckpt_path)
+        if self.param_dtype is not None:
+            def _cast(l):
+                a = np.asarray(l)
+                return (a.astype(self.param_dtype)
+                        if a.dtype == np.float32 else a)
+
+            entry["params"] = jax.tree.map(_cast, entry["params"])
         self._place_tower(entry)
         self._towers[m] = entry
 
     def _place_tower(self, entry) -> None:
-        """Replicate a tower's weights onto the serving mesh (no-op
-        single-chip). One H2D per tower at load time, none per request."""
+        """Move a tower's weights to the serving device(s): replicate onto
+        the mesh, or device_put to the default device single-chip (init is
+        host-side — without this, every encode would re-upload the params).
+        One H2D per tower at load time, none per request."""
         if self.mesh is None:
+            entry["params"] = jax.device_put(entry["params"])
+            if entry["state"] is not None:
+                entry["state"] = jax.device_put(entry["state"])
             return
         from vitlens_tpu.parallel.mesh import replicate
 
@@ -273,7 +317,7 @@ class ViTLens:
             "image": (3, hw, hw),
             "tactile": (3, hw, hw),
             "depth": (1, hw, hw),
-            "pc": (t.point.npoints, 3) if t.point else None,
+            "pc": (t.point.npoints, t.point.in_channel) if t.point else None,
             "audio": ((n_clips, t.audio.target_length, t.audio.mel_bins)
                       if t.audio else None),
             "eeg": (t.eeg.chans, t.eeg.time_len) if t.eeg else None,

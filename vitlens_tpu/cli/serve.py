@@ -20,7 +20,12 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("vitlens-tpu inference server")
     p.add_argument("--model-var", default="vitlensL",
-                   choices=["vitlensL", "vitlensB"])
+                   choices=["vitlensL", "vitlensB", "vitlensG"])
+    p.add_argument("--precision", default="bf16",
+                   choices=["bf16", "fp32"],
+                   help="encode compute dtype (bf16 = the measured serving "
+                        "configuration on TPU; vitlensG additionally stores "
+                        "its 2.5 B params bf16 so the trunk fits one v5e)")
     p.add_argument("--modalities", nargs="+", default=["image", "text"])
     p.add_argument("--ckpt", action="append", default=[],
                    help="modality=path (repeatable); use all=path for merged")
@@ -48,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--queue-capacity", type=int, default=None,
                    help="max pending items before requests shed with 503 "
                         "(default 4x max-batch)")
+    p.add_argument("--no-pipeline", dest="pipeline", action="store_false",
+                   help="serialize host preprocessing and device compute in "
+                        "one thread instead of overlapping them (the "
+                        "two-stage pipeline is on by default; this is the "
+                        "A/B baseline — scripts/bench_serve.py)")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip the startup pre-compile of every (modality, "
                         "batch-bucket) encode shape (on by default: without "
@@ -95,9 +105,16 @@ def main(argv=None) -> int:
               f"--max-batch {args.max_batch}: coalesced batches above the "
               f"top bucket will XLA-compile on live traffic", flush=True)
 
+    import jax.numpy as jnp
+
+    bf16 = args.precision == "bf16"
     model = ViTLens(model_var=args.model_var, mesh=mesh,
                     modality_loaded=list(args.modalities), checkpoints=ckpts,
-                    batch_buckets=buckets)
+                    batch_buckets=buckets,
+                    compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                    param_dtype=(jnp.bfloat16
+                                 if bf16 and args.model_var == "vitlensG"
+                                 else None))
     if args.warmup:
         print("warming up (one compile per modality x batch-bucket)...",
               flush=True)
@@ -105,7 +122,8 @@ def main(argv=None) -> int:
     srv = make_server(model, host=args.host, port=args.port,
                       max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                       queue_capacity=args.queue_capacity,
-                      default_timeout_s=args.request_timeout)
+                      default_timeout_s=args.request_timeout,
+                      pipeline=args.pipeline)
     host, port = srv.server_address[:2]
     print(f"vitlens-serve listening on http://{host}:{port} "
           f"(modalities={args.modalities})", flush=True)

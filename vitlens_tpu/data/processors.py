@@ -200,11 +200,17 @@ def pc_normalize(pc: np.ndarray) -> np.ndarray:
 
 class PointCloudProcessor:
     def __init__(self, n_sample_points: int = 8192, uniform: bool = True,
-                 identity: bool = False, seed: Optional[int] = None):
+                 identity: bool = False, seed: Optional[int] = None,
+                 channels: int = 3):
         self.n = n_sample_points
         self.uniform = uniform
         self.identity = identity
         self.seed = seed
+        # output channel width: 3 = xyz (vitlensL); 6 = xyz+rgb (vitlensG /
+        # OpenShape, in_channel 6). Only xyz is FPS'd/normalized; extra
+        # columns pass through, missing rgb fills with the OpenShape 0.4
+        # gray (train/openshape.py ObjaverseNpy rgb default).
+        self.channels = channels
 
     def process_array(self, pc: np.ndarray) -> np.ndarray:
         if self.identity:
@@ -215,7 +221,14 @@ class PointCloudProcessor:
             rng = np.random.RandomState(self.seed)
             perm = rng.permutation(pc.shape[0])[: self.n]
             pc = pc[perm]
-        return pc_normalize(pc).astype(np.float32)
+        xyz = pc_normalize(pc[:, :3]).astype(np.float32)
+        rest = pc[:, 3:self.channels].astype(np.float32)
+        if 3 + rest.shape[1] < self.channels:
+            fill = np.full((pc.shape[0], self.channels - 3 - rest.shape[1]),
+                           0.4, np.float32)
+            rest = np.concatenate([rest, fill], axis=1)
+        return np.concatenate([xyz, rest], axis=1) if self.channels > 3 \
+            else xyz
 
     def __call__(self, paths) -> np.ndarray:
         out = []

@@ -88,7 +88,8 @@ class BatchingEncoder:
 
     def __init__(self, model, max_batch: int = 64, max_wait_ms: float = 5.0,
                  queue_capacity: Optional[int] = None,
-                 default_timeout_s: float = 600.0):
+                 default_timeout_s: float = 600.0,
+                 pipeline: bool = True):
         # default_timeout_s must cover COLD-START latency, not steady-state:
         # the first request of a (model, batch-bucket) shape triggers an XLA
         # compile (bigG ~2 min; first TPU contact can be minutes) — a
@@ -117,13 +118,23 @@ class BatchingEncoder:
         # the serving-side analogue of the train driver's DevicePrefetcher
         # (sum -> max pipelining, measured on-chip for training). Depth 1:
         # a deeper queue only adds latency under backpressure.
+        # pipeline=False serializes the two stages in one thread (the A/B
+        # baseline for measuring the overlap win; scripts/bench_serve.py).
+        self.pipeline = bool(pipeline)
         self._staged: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=1)
-        self._pre_worker = threading.Thread(
-            target=self._preprocess_loop, daemon=True,
-            name="vitlens-serve-preprocess")
-        self._worker = threading.Thread(target=self._device_loop, daemon=True,
-                                        name="vitlens-serve-batcher")
-        self._pre_worker.start()
+        if self.pipeline:
+            self._pre_worker = threading.Thread(
+                target=self._preprocess_loop, daemon=True,
+                name="vitlens-serve-preprocess")
+            self._worker = threading.Thread(
+                target=self._device_loop, daemon=True,
+                name="vitlens-serve-batcher")
+            self._pre_worker.start()
+        else:
+            self._pre_worker = None
+            self._worker = threading.Thread(
+                target=self._serial_loop, daemon=True,
+                name="vitlens-serve-batcher")
         self._worker.start()
 
     # -- client side --------------------------------------------------------
@@ -182,7 +193,8 @@ class BatchingEncoder:
 
     def close(self) -> None:
         self._q.put(None)
-        self._pre_worker.join(timeout=5)
+        if self._pre_worker is not None:
+            self._pre_worker.join(timeout=5)
         self._worker.join(timeout=5)
 
     # -- worker side --------------------------------------------------------
@@ -244,30 +256,41 @@ class BatchingEncoder:
             n += len(nxt.items)
         return group
 
+    def _stage(self, group: List[_Pending]) -> tuple:
+        """Stage 1 body: run the host-side modality processor (file decode /
+        resample / FPS / tokenization) for one collected batch. Returns
+        (group, x, preprocessed, error-or-None)."""
+        items: List[Any] = []
+        for p in group:
+            items.extend(p.items)
+        m = group[0].modality
+        proc = getattr(self.model, "processors", {}).get(m)
+        if proc is None:  # model preprocesses inside encode()
+            return (group, items, False, None)
+        try:
+            x = np.asarray(proc(items))
+        except BaseException as e:  # noqa: BLE001 - fail this group only
+            return (group, None, True, e)
+        return (group, x, True, None)
+
     def _preprocess_loop(self) -> None:
-        """Stage 1: collect a batch and run the host-side modality processor
-        (file decode / resample / FPS / tokenization). Hands
-        (group, preprocessed-or-None, error-or-None) to the device stage so
+        """Pipelined stage 1: hand staged batches to the device stage so
         host work on batch N+1 overlaps device compute of batch N."""
         while True:
             group = self._collect()
             if not group:
                 self._staged.put(None)
                 return
-            items: List[Any] = []
-            for p in group:
-                items.extend(p.items)
-            m = group[0].modality
-            proc = getattr(self.model, "processors", {}).get(m)
-            if proc is None:  # model preprocesses inside encode()
-                self._staged.put((group, items, False, None))
-                continue
-            try:
-                x = np.asarray(proc(items))
-            except BaseException as e:  # noqa: BLE001 - fail this group only
-                self._staged.put((group, None, True, e))
-                continue
-            self._staged.put((group, x, True, None))
+            self._staged.put(self._stage(group))
+
+    def _serial_loop(self) -> None:
+        """pipeline=False: collect -> preprocess -> dispatch in ONE thread
+        (no host/device overlap; the measurement baseline)."""
+        while True:
+            group = self._collect()
+            if not group:
+                return
+            self._dispatch(self._stage(group))
 
     def _drop_cancelled(self, group: List[_Pending], x):
         """Requests can time out while their batch sits staged (the pipeline
@@ -297,46 +320,50 @@ class BatchingEncoder:
         return live, x
 
     def _device_loop(self) -> None:
-        """Stage 2: device dispatch + per-request result fan-out."""
+        """Pipelined stage 2: device dispatch + per-request result fan-out."""
         while True:
             staged = self._staged.get()
             if staged is None:
                 return
-            group, x, preprocessed, err = staged
-            m = group[0].modality
-            group, x = self._drop_cancelled(group, x if err is None else None)
-            if not group:
-                continue
-            try:
-                if err is not None:
-                    raise err
-                feats = np.asarray(
-                    self.model.encode({m: x}, normalize=False,
-                                      **({"preprocessed": True}
-                                         if preprocessed else {}))[m],
-                    dtype=np.float32)
-                n_items = sum(len(p.items) for p in group)
-                now = time.monotonic()
-                with self._lock:
-                    self.stats["batches"] += 1
-                    self.stats["items"] += n_items
-                    self._latencies.extend(
-                        now - p.t_enqueue for p in group)
-                off = 0
-                for p in group:
-                    rows = feats[off:off + len(p.items)]
-                    off += len(p.items)
-                    if p.normalize:
-                        nrm = np.linalg.norm(rows, axis=-1, keepdims=True)
-                        rows = rows / np.maximum(nrm, 1e-12)
-                    p.result = rows
-                    p.done.set()
-            except BaseException as e:  # noqa: BLE001 - propagate per request
-                for p in group:
-                    p.error = e
-                    p.done.set()
-            finally:
-                self._release(*group)
+            self._dispatch(staged)
+
+    def _dispatch(self, staged: tuple) -> None:
+        """Stage 2 body: one staged batch through the device + fan-out."""
+        group, x, preprocessed, err = staged
+        m = group[0].modality
+        group, x = self._drop_cancelled(group, x if err is None else None)
+        if not group:
+            return
+        try:
+            if err is not None:
+                raise err
+            feats = np.asarray(
+                self.model.encode({m: x}, normalize=False,
+                                  **({"preprocessed": True}
+                                     if preprocessed else {}))[m],
+                dtype=np.float32)
+            n_items = sum(len(p.items) for p in group)
+            now = time.monotonic()
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["items"] += n_items
+                self._latencies.extend(
+                    now - p.t_enqueue for p in group)
+            off = 0
+            for p in group:
+                rows = feats[off:off + len(p.items)]
+                off += len(p.items)
+                if p.normalize:
+                    nrm = np.linalg.norm(rows, axis=-1, keepdims=True)
+                    rows = rows / np.maximum(nrm, 1e-12)
+                p.result = rows
+                p.done.set()
+        except BaseException as e:  # noqa: BLE001 - propagate per request
+            for p in group:
+                p.error = e
+                p.done.set()
+        finally:
+            self._release(*group)
 
 
 def _decode_items(raw: Sequence[Any]) -> Sequence[Any]:
@@ -353,14 +380,16 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0,
                 max_batch: int = 64,
                 max_wait_ms: float = 5.0,
                 queue_capacity: Optional[int] = None,
-                default_timeout_s: float = 600.0) -> ThreadingHTTPServer:
+                default_timeout_s: float = 600.0,
+                pipeline: bool = True) -> ThreadingHTTPServer:
     """Build (don't start) the HTTP server. `serve_forever()` to run;
     `.encoder` carries the batching stats; port 0 picks a free port
     (read it back from `server.server_address`)."""
     encoder = BatchingEncoder(model, max_batch=max_batch,
                               max_wait_ms=max_wait_ms,
                               queue_capacity=queue_capacity,
-                              default_timeout_s=default_timeout_s)
+                              default_timeout_s=default_timeout_s,
+                              pipeline=pipeline)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; observability via /healthz
