@@ -86,6 +86,7 @@ def run_phase(port: int, modality: str, paths: list, clients: int,
     lat: list = []
     errors = [0]
     sheds = [0]
+    status_hist: dict = {}   # status code -> count (-1 = client exception)
     t_measure = [None]
 
     def worker(wid: int):
@@ -109,6 +110,7 @@ def run_phase(port: int, modality: str, paths: list, clients: int,
                                                   timeout=900)
             t1 = time.monotonic()
             with lock:
+                status_hist[status] = status_hist.get(status, 0) + 1
                 if status == 503:   # shed load: back off, not an error
                     sheds[0] += 1
                 elif status != 200:
@@ -130,15 +132,19 @@ def run_phase(port: int, modality: str, paths: list, clients: int,
     time.sleep(duration_s)
     t_end = time.monotonic()
     stop.set()
+    # drain fully: in-flight requests can sit minutes deep in the queue;
+    # leaking them into the next phase contends for the chip and shows up
+    # as phantom errors
     for t in threads:
-        t.join(timeout=30)
+        t.join()
 
     with lock:
         ls = sorted(lat)
         n_err, n_shed = errors[0], sheds[0]
+        hist = {str(k): v for k, v in sorted(status_hist.items())}
     if not ls:
         return {"error": f"no completed requests ({n_err} errors, "
-                         f"{n_shed} sheds)",
+                         f"{n_shed} sheds)", "status_hist": hist,
                 "ramp_s": round(t_end - t_start, 1)}
 
     def q(p):
@@ -149,6 +155,7 @@ def run_phase(port: int, modality: str, paths: list, clients: int,
         "requests_per_s": round(len(ls) / window, 2),
         "p50_ms": q(0.50), "p95_ms": q(0.95), "p99_ms": q(0.99),
         "completed": len(ls), "errors": n_err, "sheds_503": n_shed,
+        "status_hist": hist,
         "window_s": round(window, 1), "clients": clients,
     }
 
@@ -215,9 +222,13 @@ def main() -> int:
     results = {}
     for phase in args.phases.split(","):
         pipeline = phase.strip() == "on"
+        # queue_capacity 2x batch: beyond one in-flight + one staged batch,
+        # requests shed with 503 instead of growing unbounded queue latency
+        # (the client backs off 50 ms on a shed) — p50/p99 then measure the
+        # SERVING path, not the backlog depth
         srv = make_server(model, port=0, max_batch=cfg["max_batch"],
                           max_wait_ms=args.max_wait_ms, pipeline=pipeline,
-                          queue_capacity=8 * cfg["max_batch"])
+                          queue_capacity=2 * cfg["max_batch"])
         port = srv.server_address[1]
         st = threading.Thread(target=srv.serve_forever, daemon=True)
         st.start()

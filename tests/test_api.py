@@ -224,6 +224,38 @@ def test_param_dtype_cast_and_pc_processor_sync(model):
     assert np.all(np.isfinite(np.asarray(out["text"])))
 
 
+def test_tower_params_placed_on_serving_device():
+    """Regression: init runs under `jax.default_device(cpu0)`, committing
+    uncast fp32 params to the host device — `device_put(x, device=None)` is
+    an IDENTITY for committed arrays, so without an explicit target the
+    weights silently stayed host-side and every encode re-uploaded the
+    full tower (measured 36 s per B64 dispatch on-chip vs 0.9 s placed).
+    Pin the serving device to a non-init virtual device and assert the
+    weights actually moved there."""
+    import jax
+
+    cpus = jax.local_devices(backend="cpu")
+    assert len(cpus) >= 2
+    prev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", cpus[2])
+    try:
+        m = ViTLens(model_var="vitlensB", modality_loaded=["text", "audio"])
+        for mod in ("text", "audio"):
+            for leaf in jax.tree.leaves(m._towers[mod]["params"]):
+                assert leaf.devices() == {cpus[2]}, (mod, leaf.devices())
+            st = m._towers[mod]["state"]
+            if st is not None:
+                for leaf in jax.tree.leaves(st):
+                    assert leaf.devices() == {cpus[2]}
+        # and encode works from the explicit placement
+        text = np.zeros((2, 77), np.int32)
+        text[:, 0], text[:, 1], text[:, 2] = 49406, 320, 49407
+        out = m.encode({"text": text}, normalize=True, preprocessed=True)
+        assert np.all(np.isfinite(np.asarray(out["text"])))
+    finally:
+        jax.config.update("jax_default_device", prev)
+
+
 def test_vitlensG_config_assembly():
     """vitlensG maps to the ViT-bigG-14 trunk with the published OpenShape
     pc tower (PNSA, 10k xyz+rgb points) — assembled WITHOUT init (init is a
