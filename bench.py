@@ -405,12 +405,13 @@ def bench_image_encode(batch: int, iters: int):
 
 
 def bench_text_encode(batch: int, iters: int):
-    """CLIP text-tower encode (77-token captions, 12x512 trunk) — the query
-    side of every retrieval/zero-shot serving deployment. Known shape facts:
-    the vocab-table gather is ~1.1 us/row and NOT fixable by one-hot tricks
-    (CLAUDE.md dead-ends), and D=512 matmuls sit well below the chip's
-    square-shape ceiling, so MFU here is structurally lower than the
-    vision towers'."""
+    """CLIP text-tower encode (77-token captions, 12-layer width-768 trunk)
+    — the query side of every retrieval/zero-shot serving deployment. Known
+    shape facts: the vocab-table gather is ~1.1 us/row and NOT fixable by
+    one-hot tricks (CLAUDE.md dead-ends), and width-768 matmuls sit well
+    below the chip's square-shape ceiling, so MFU here is structurally
+    lower than the vision towers' (decomposition:
+    scripts/bench_text_breakdown.py)."""
     from vitlens_tpu.config import make_model_config
     from vitlens_tpu.models import layers as L
     from vitlens_tpu.models import tri
