@@ -360,6 +360,36 @@ def test_http_encode_matches_direct(server):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_http_keepalive_connection_reuse(server):
+    """The server speaks HTTP/1.1 with Content-Length, so a client may
+    send many requests down ONE persistent connection. Before the r5 fix
+    the http.server default (HTTP/1.0, Connection: close) killed the
+    socket after every response and every second request on a reused
+    connection died — a ~1:1 200/error ratio under closed-loop load."""
+    import http.client
+
+    srv, _ = server
+    port = srv.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        sock_ids = set()
+        for i in range(4):
+            body = json.dumps({"inputs": {"text": [f"query {i}"]}})
+            conn.request("POST", "/v1/encode", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            payload = json.loads(resp.read())
+            assert resp.status == 200, payload
+            assert resp.version == 11  # HTTP/1.1, not 1.0
+            assert resp.getheader("Connection") != "close"
+            sock_ids.add(id(conn.sock))
+        # same underlying socket the whole time — true keep-alive, not
+        # client-side silent reconnects
+        assert len(sock_ids) == 1, sock_ids
+    finally:
+        conn.close()
+
+
 def test_http_error_paths(server):
     srv, _ = server
     port = srv.server_address[1]

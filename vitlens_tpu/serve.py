@@ -392,6 +392,19 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0,
                               pipeline=pipeline)
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every _reply carries Content-Length, so
+        # persistent client connections are safe. Without this (the
+        # http.server default is HTTP/1.0 + Connection: close) a client
+        # reusing one connection sees the server hang up after EVERY
+        # response and its next request dies on the dead socket — measured
+        # as a ~1:1 200/-1 ratio under closed-loop load (r5 serving bench).
+        protocol_version = "HTTP/1.1"
+        # Idle keep-alive connections are reaped so a vanished client
+        # cannot pin a handler thread forever. Applies only BETWEEN
+        # requests — in-flight encodes block in encoder.encode(), which
+        # has its own default_timeout_s.
+        timeout = 300.0
+
         def log_message(self, *a):  # quiet; observability via /healthz
             pass
 
@@ -444,6 +457,13 @@ def make_server(model, host: str = "127.0.0.1", port: int = 0,
             except Exception as e:  # noqa: BLE001 - surface as 500, keep serving
                 self._reply(500, {"error": repr(e)})
 
-    srv = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # Deep listen backlog: closed-loop fleets (100+ persistent
+        # clients) open their connections in one burst; the socketserver
+        # default of 5 resets the overflow at the TCP layer.
+        request_queue_size = 256
+        daemon_threads = True
+
+    srv = Server((host, port), Handler)
     srv.encoder = encoder  # type: ignore[attr-defined]
     return srv
