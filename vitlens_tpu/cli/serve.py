@@ -36,7 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "per device dispatch (B64 = measured per-chip "
                         "optimum for ViT-L on v5e)")
     p.add_argument("--max-wait-ms", type=float, default=5.0,
-                   help="how long a request waits for co-batching company")
+                   help="how long a request waits for co-batching company; "
+                        "keep small at low QPS, raise to ~the batch "
+                        "latency at saturation so batches fill before "
+                        "padding (measured 1.86x: serve.py module doc)")
     p.add_argument("--batch-buckets", type=int, nargs="*", default=None,
                    help="pad device batches to these sizes (one XLA "
                         "compilation per bucket); default: powers of 2 up "

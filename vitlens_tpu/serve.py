@@ -32,6 +32,19 @@ The batcher is a two-stage pipeline: a preprocess thread runs the host-side
 modality processor for batch N+1 while the device thread computes batch N
 (the serving analogue of the train driver's DevicePrefetcher).
 
+Tuning `max_wait_ms` (the coalescing window, measured from the FIRST item
+of a forming batch): at low load keep it small (the 5 ms default) — a lone
+request then pays at most 5 ms extra latency. At saturation it must cover
+the clients' resubmit latency or the pipeline dispatches UNDERFILLED
+batches that still pad to the bucket size and burn device time on empty
+rows: measured on-chip (r5, scripts/bench_serve.py, 128 closed-loop
+clients, audio B64), a 15 ms window gave mean batch 34.5/64 and the
+pipeline LOST to serial (0.85x); a 500 ms window filled every batch
+(64.0/64) and the pipeline won 1.86x (27.7 vs 14.9 req/s, p50 4.7 s vs
+9.0 s) — near the 2x ceiling for balanced host/device stages. The window
+only delays the first dispatch after an idle gap, so 500 ms is safe for
+saturated deployments; latency-sensitive low-QPS deployments keep 5 ms.
+
 Stdlib-only (http.server + threads): no framework dependency to gate on.
 """
 
