@@ -476,6 +476,64 @@ def test_healthz_latency_percentiles():
         enc.close()
 
 
+def test_serve_cli_sigterm_graceful_drain(tmp_path):
+    """SIGTERM to the serve CLI (the k8s/systemd stop path) drains and
+    exits 0: requests admitted before the signal still get answered (the
+    encoder's FIFO shutdown sentinel lands behind them), and the process
+    logs the drain instead of dying mid-request. Subprocess because
+    signals need a real process."""
+    import http.client
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["PALLAS_AXON_POOL_IPS"] = ""  # CPU-only: keep off the tunnel chip
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, "-m", "vitlens_tpu.cli.serve",
+           "--model-var", "vitlensB", "--modalities", "text",
+           "--precision", "fp32", "--port", "0", "--no-warmup",
+           "--max-batch", "4", "--max-wait-ms", "2"]
+    outf, errf = tmp_path / "out.txt", tmp_path / "err.txt"
+    # child stderr to a FILE (64K pipe backpressure blocks the child)
+    with open(outf, "w") as of, open(errf, "w") as ef:
+        p = subprocess.Popen(cmd, env=env, cwd=repo, stdout=of, stderr=ef)
+        try:
+            port = None
+            deadline = time.time() + 240
+            while time.time() < deadline and port is None:
+                m = re.search(r"listening on http://[^:]+:(\d+)",
+                              outf.read_text())
+                if m:
+                    port = int(m.group(1))
+                    break
+                assert p.poll() is None, errf.read_text()[-2000:]
+                time.sleep(0.5)
+            assert port, "server never printed its port"
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request("POST", "/v1/encode",
+                         json.dumps({"inputs": {"text": ["a dog"]}}),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            assert resp.status == 200, body
+            conn.close()
+            p.send_signal(signal.SIGTERM)
+            p.wait(timeout=120)
+        finally:
+            if p.poll() is None:
+                p.kill()
+    assert p.returncode == 0, errf.read_text()[-2000:]
+    out = outf.read_text()
+    assert "draining" in out, out[-2000:]
+    assert re.search(r"drained, exiting \(served [1-9]\d* items", out), \
+        out[-2000:]
+
+
 def test_serve_cli_default_buckets():
     """Default --batch-buckets covers every coalescible batch size up to
     --max-batch with power-of-2 buckets, so warmup pre-compiles shapes the

@@ -130,13 +130,35 @@ def main(argv=None) -> int:
     host, port = srv.server_address[:2]
     print(f"vitlens-serve listening on http://{host}:{port} "
           f"(modalities={args.modalities})", flush=True)
+
+    # Graceful drain on SIGTERM/SIGINT (the k8s/systemd stop path): stop
+    # accepting new HTTP work, then let encoder.close() drain — its queue
+    # sentinel lands BEHIND already-admitted requests (FIFO), so everything
+    # accepted before the signal still gets encoded and answered before
+    # exit 0. shutdown() must run off the main thread: the signal handler
+    # interrupts serve_forever() itself, and a same-thread shutdown() would
+    # deadlock waiting for the suspended poll loop.
+    import signal
+    import threading
+
+    def _graceful(signum, frame):
+        print(f"vitlens-serve: signal {signum}, draining...", flush=True)
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        srv.encoder.close()
+        srv.encoder.close()   # FIFO drain of admitted requests
         srv.server_close()
+        with srv.encoder._lock:
+            stats = dict(srv.encoder.stats)
+        print(f"vitlens-serve: drained, exiting (served "
+              f"{stats.get('items', 0)} items in "
+              f"{stats.get('batches', 0)} batches)", flush=True)
     return 0
 
 
