@@ -205,7 +205,13 @@ def load_file(relpath: str):
     spec = importlib.util.spec_from_file_location(name, f"{REF_SRC}/{relpath}")
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
-    spec.loader.exec_module(mod)
+    import warnings
+
+    with warnings.catch_warnings():
+        # the reference's own source has invalid escape sequences (e.g.
+        # randaugment.py "\d"); its compile-time warnings are not ours
+        warnings.simplefilter("ignore", SyntaxWarning)
+        spec.loader.exec_module(mod)
     return mod
 
 

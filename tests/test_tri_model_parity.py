@@ -70,7 +70,8 @@ def both():
     cfg = _tiny_cfg()
     ref = _build_ref_tri(cfg)
     params, state = convert_tri_state_dict(ref.state_dict(), cfg)
-    params.setdefault("logit_scale", jnp.asarray(float(ref.logit_scale)))
+    params.setdefault("logit_scale",
+                      jnp.asarray(float(ref.logit_scale.detach())))
     return cfg, ref, params, state
 
 

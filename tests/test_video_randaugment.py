@@ -214,11 +214,17 @@ def test_video_train_aug_list_matches_reference():
     vt_processors.py cannot be imported here (decord/skimage absent), so the
     literal dict is extracted from its AST."""
     import ast
+    import warnings
 
     src = open("/root/reference/vitlens/src/open_clip/modal_video/"
                "processors/vt_processors.py").read()
     conf = None
-    for node in ast.walk(ast.parse(src)):
+    with warnings.catch_warnings():
+        # the reference source has an invalid escape sequence ("\d"); its
+        # parse-time warning is not ours
+        warnings.simplefilter("ignore", SyntaxWarning)
+        tree = ast.parse(src)
+    for node in ast.walk(tree):
         if (isinstance(node, ast.Assign)
                 and any(isinstance(t, ast.Name)
                         and t.id == "lavis_transform_conf"
